@@ -1,0 +1,215 @@
+"""Functional building blocks for the BeatThis model, JAX/TPU-native.
+
+Pure functions over explicit parameter pytrees (no module framework): RMSNorm,
+gated RoPE attention, feed-forward, batch norm, and 2-D convolutions in a
+time-major NHWC layout. Semantics track the reference roformer
+(reference: beat_this/model/roformer.py) and frontend
+(reference: beat_this/model/beat_tracker.py:108-168) but the data layout is
+redesigned for TPU: activations are (batch, time, freq, channels) so that the
+frequency-axis attention needs no transpose at all, and convolutions run as
+NHWC/HWIO which XLA maps directly onto the MXU.
+
+Parameter conventions (differing from torch on purpose — documented in
+beat_this_tpu/io/torch_ckpt.py, which performs the layout conversion):
+  * linear weights are stored (in_features, out_features) for `x @ w`,
+  * conv kernels are stored (k_time, k_freq, in_ch, out_ch) i.e. HWIO with
+    H = time, W = freq,
+  * batch-norm state is {"gamma", "beta", "mean", "var"} in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from beat_this_tpu.ops.rotary import apply_rope
+
+BN_EPS = 1e-5  # torch BatchNorm default
+BN_MOMENTUM = 0.1  # torch BatchNorm default
+
+
+def rms_norm(x: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
+    """L2-normalize over the last axis, scale by sqrt(dim) * gamma.
+
+    Matches reference roformer.RMSNorm (beat_this/model/roformer.py:22-32):
+    `F.normalize(x, dim=-1) * size**0.5 * gamma`, where F.normalize clamps the
+    norm at 1e-12. The norm is accumulated in float32 for stability.
+    """
+    dim = x.shape[-1]
+    x32 = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True))
+    normed = x32 / jnp.maximum(norm, 1e-12)
+    out = normed * (dim**0.5) * gamma.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarray:
+    if rng is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over (..., heads, seq, head_dim).
+
+    Equivalent to `F.scaled_dot_product_attention` (reference:
+    beat_this/model/roformer.py:78-80): scale 1/sqrt(head_dim), softmax in
+    float32, optional dropout on the attention probabilities (training only).
+    """
+    head_dim = q.shape[-1]
+    scale = head_dim**-0.5
+    logits = jnp.einsum(
+        "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = _dropout(probs, dropout_rate, rng)
+    return jnp.einsum(
+        "...qk,...kd->...qd", probs.astype(q.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
+def attention_block(
+    params: dict,
+    x: jnp.ndarray,
+    rope: tuple[jnp.ndarray, jnp.ndarray],
+    heads: int,
+    *,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Pre-norm gated rotary attention (reference roformer.Attention,
+    beat_this/model/roformer.py:83-132). Returns the residual branch only.
+
+    params: {"norm_gamma", "qkv_w" (d, 3*inner), "gates_w" (d, heads),
+             "gates_b" (heads,), "out_w" (inner, d)}
+    """
+    b, n, d = x.shape
+    g = rms_norm(x, params["norm_gamma"])
+    qkv = g @ params["qkv_w"].astype(g.dtype)  # (b, n, 3 * inner)
+    inner = qkv.shape[-1] // 3
+    head_dim = inner // heads
+    # torch layout "(qkv h d)": qkv slowest, then head, then head_dim
+    qkv = qkv.reshape(b, n, 3, heads, head_dim)
+    qkv = jnp.moveaxis(qkv, 2, 0)  # (3, b, n, heads, head_dim)
+    q, k, v = (jnp.swapaxes(t, 1, 2) for t in qkv)  # (b, heads, n, head_dim)
+    cos, sin = rope
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    rng_attn = rng_out = None
+    if rng is not None:
+        rng_attn, rng_out = jax.random.split(rng)
+    out = sdpa(q, k, v, dropout_rate=dropout_rate, rng=rng_attn)
+    # per-head sigmoid gates computed from the normed input
+    gates = g @ params["gates_w"].astype(g.dtype) + params["gates_b"].astype(g.dtype)
+    out = out * jax.nn.sigmoid(jnp.swapaxes(gates, 1, 2))[..., None]
+    out = jnp.swapaxes(out, 1, 2).reshape(b, n, inner)
+    out = out @ params["out_w"].astype(out.dtype)
+    return _dropout(out, dropout_rate, rng_out)
+
+
+def feed_forward(
+    params: dict,
+    x: jnp.ndarray,
+    *,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Pre-norm MLP with exact-erf GELU (reference roformer.FeedForward,
+    beat_this/model/roformer.py:38-61). Returns the residual branch only.
+
+    params: {"norm_gamma", "w1" (d, mult*d), "b1", "w2" (mult*d, d), "b2"}
+    """
+    rng1 = rng2 = None
+    if rng is not None:
+        rng1, rng2 = jax.random.split(rng)
+    g = rms_norm(x, params["norm_gamma"])
+    h = g @ params["w1"].astype(g.dtype) + params["b1"].astype(g.dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    h = _dropout(h, dropout_rate, rng1)
+    h = h @ params["w2"].astype(h.dtype) + params["b2"].astype(h.dtype)
+    return _dropout(h, dropout_rate, rng2)
+
+
+def batch_norm_apply(
+    params: dict,
+    x: jnp.ndarray,
+    *,
+    axis: int = -1,
+    train: bool = False,
+):
+    """Batch normalization over all axes except `axis`.
+
+    Eval mode folds running stats into a single scale/shift (XLA fuses this
+    into the neighbouring conv). Train mode normalizes with biased batch
+    variance and returns running stats updated with unbiased variance at
+    momentum 0.1, matching torch BatchNorm1d/2d semantics used in the
+    reference stem and frontend convs (beat_this/model/beat_tracker.py:113-125).
+
+    Returns (y, new_stats) where new_stats == params' stats in eval mode.
+    """
+    gamma = params["gamma"].astype(jnp.float32)
+    beta = params["beta"].astype(jnp.float32)
+    axis = axis % x.ndim
+    shape = [1] * x.ndim
+    shape[axis] = x.shape[axis]
+    reduce_axes = tuple(i for i in range(x.ndim) if i != axis)
+    if not train:
+        mean = params["mean"].astype(jnp.float32)
+        var = params["var"].astype(jnp.float32)
+        scale = gamma * lax.rsqrt(var + BN_EPS)
+        shift = beta - mean * scale
+        y = x.astype(jnp.float32) * scale.reshape(shape) + shift.reshape(shape)
+        return y.astype(x.dtype), {"mean": params["mean"], "var": params["var"]}
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=reduce_axes)
+    var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+    count = 1
+    for i in reduce_axes:
+        count *= x.shape[i]
+    unbiased = var * (count / max(count - 1, 1))
+    new_stats = {
+        "mean": (1 - BN_MOMENTUM) * params["mean"] + BN_MOMENTUM * mean,
+        "var": (1 - BN_MOMENTUM) * params["var"] + BN_MOMENTUM * unbiased,
+    }
+    scale = gamma * lax.rsqrt(var + BN_EPS)
+    shift = beta - mean * scale
+    y = x32 * scale.reshape(shape) + shift.reshape(shape)
+    return y.astype(x.dtype), new_stats
+
+
+def conv2d_tf(
+    w: jnp.ndarray,
+    x: jnp.ndarray,
+    *,
+    stride_freq: int,
+    pad_time: int,
+) -> jnp.ndarray:
+    """2-D convolution over (batch, time, freq, channels), no bias.
+
+    Kernel `w` is (k_time, k_freq, in_ch, out_ch); stride over time is always
+    1 and over frequency `stride_freq`; time is zero-padded by `pad_time` on
+    both sides, frequency is VALID. This realizes the reference's
+    Conv2d(kernel=(freq_k, 3), stride=(freq_s, 1), padding=(0, 1))
+    (beat_this/model/beat_tracker.py:115-122,155-162) in a layout where time
+    is the image height — NHWC/HWIO, native for the TPU MXU.
+    """
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, stride_freq),
+        padding=((pad_time, pad_time), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
