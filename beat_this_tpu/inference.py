@@ -1,0 +1,306 @@
+"""Inference engine: checkpoint loading, fixed-shape chunked prediction, and
+the public Spect2Frames / Audio2Frames / Audio2Beats / File2Beats / File2File
+class tower (API-compatible with the reference, beat_this/inference.py).
+
+TPU-first redesign of the reference's sequential batch-1 chunk loop
+(reference: beat_this/inference.py:188-230): a piece is split into
+overlapping 1500-frame chunks exactly like the reference (starts every
+chunk_size - 2*border, first/last zero-padded, last start shifted left to
+avoid short ends — beat_this/inference.py:100-135), but all chunks are
+gathered with `lax.dynamic_slice` into ONE batched tensor, run through ONE
+jitted forward, and stitched back on device with reverse-order
+`dynamic_update_slice` (= "keep_first" overlap handling). Chunk counts are
+bucketed to powers of two so the whole pipeline is a handful of compiled
+graphs regardless of audio length.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beat_this_tpu.io.audio import load_audio
+from beat_this_tpu.io.torch_ckpt import (
+    load_torch_checkpoint,
+    torch_state_dict_to_pytree,
+)
+from beat_this_tpu.model import BeatThisConfig, apply_beat_this
+from beat_this_tpu.ops.mel import LogMelConfig, log_mel_spectrogram, num_frames
+from beat_this_tpu.ops.resample import resample
+from beat_this_tpu.postprocessing import Postprocessor
+from beat_this_tpu.utils import save_beat_tsv
+
+CHECKPOINT_URL = "https://cloud.cp.jku.at/public.php/dav/files/7ik4RrBKTS273gp"
+
+CHUNK_SIZE = 1500
+BORDER_SIZE = 6  # = 2 * loss tolerance (reference pl_module.py:258-263)
+
+
+def _cache_dir() -> Path:
+    return Path(
+        os.environ.get("BEAT_THIS_CACHE", Path.home() / ".cache" / "beat_this_tpu")
+    )
+
+
+def load_checkpoint(checkpoint_path: str) -> dict:
+    """Load a checkpoint dict from a local path, shortname, or URL
+    (resolution order as reference beat_this/inference.py:16-53)."""
+    path = Path(checkpoint_path)
+    if path.exists():
+        return load_torch_checkpoint(path)
+    name = str(checkpoint_path)
+    if name.startswith(("http://", "https://")):
+        url, file_name = name, Path(name).name
+    else:
+        url = f"{CHECKPOINT_URL}/{name}.ckpt"
+        file_name = f"beat_this-{name}.ckpt"
+    cached = _cache_dir() / file_name
+    if not cached.exists():
+        import urllib.request
+
+        cached.parent.mkdir(parents=True, exist_ok=True)
+        tmp = cached.with_suffix(".tmp")
+        try:
+            urllib.request.urlretrieve(url, tmp)
+            tmp.rename(cached)
+        except Exception as exc:
+            raise ValueError(
+                "Could not load the checkpoint given the provided name",
+                checkpoint_path,
+            ) from exc
+    return load_torch_checkpoint(cached)
+
+
+@dataclass
+class LoadedModel:
+    """A checkpointed model: immutable config + parameter pytrees."""
+
+    config: BeatThisConfig
+    params: dict
+    state: dict
+
+
+def load_model(checkpoint_path: str | None = "final0") -> LoadedModel:
+    """Build a model from a checkpoint (reference beat_this/inference.py:56-87).
+    With `None`, returns a freshly initialized default model."""
+    if checkpoint_path is None:
+        from beat_this_tpu.model import init_beat_this
+
+        config = BeatThisConfig()
+        params, state = init_beat_this(0, config)
+        return LoadedModel(config, params, state)
+    checkpoint = load_checkpoint(checkpoint_path)
+    config = BeatThisConfig.from_hparams(checkpoint.get("hyper_parameters", {}))
+    params, state = torch_state_dict_to_pytree(checkpoint["state_dict"], config)
+    return LoadedModel(config, params, state)
+
+
+# ---------------------------------------------------------------------------
+# Chunk planning (host) — semantics of reference beat_this/inference.py:100-135
+# ---------------------------------------------------------------------------
+
+
+def plan_chunks(
+    length: int,
+    chunk_size: int = CHUNK_SIZE,
+    border_size: int = BORDER_SIZE,
+    avoid_short_end: bool = True,
+) -> np.ndarray:
+    """Return chunk start indices (can be negative for the leading pad)."""
+    stride = chunk_size - 2 * border_size
+    starts = np.arange(-border_size, length - border_size, stride)
+    if avoid_short_end and length > stride:
+        starts[-1] = length - (chunk_size - border_size)
+    return starts
+
+
+def _bucket(n: int, buckets=(1, 2, 4, 8, 16, 32, 64, 128, 256)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return int(2 ** math.ceil(math.log2(n)))
+
+
+class ChunkedPredictor:
+    """Batched fixed-shape chunked inference for one model.
+
+    One compiled graph per chunk-count bucket; all slicing, the model
+    forward, border trimming and keep-first stitching happen on device.
+    """
+
+    def __init__(
+        self,
+        model: LoadedModel,
+        chunk_size: int = CHUNK_SIZE,
+        border_size: int = BORDER_SIZE,
+        compute_dtype=jnp.float32,
+    ):
+        self.model = model
+        self.chunk_size = chunk_size
+        self.border_size = border_size
+        self.compute_dtype = compute_dtype
+        self._fns: dict[int, Callable] = {}
+
+    @property
+    def stride(self) -> int:
+        return self.chunk_size - 2 * self.border_size
+
+    def _build(self, n_chunks: int) -> Callable:
+        cs, bs, stride = self.chunk_size, self.border_size, self.stride
+        config, dtype = self.model.config, self.compute_dtype
+
+        def fn(params, state, spect_pad, starts):
+            chunks = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(
+                    spect_pad, (s, 0), (cs, spect_pad.shape[1])
+                )
+            )(starts)
+            out, _ = apply_beat_this(
+                params, state, chunks, config, compute_dtype=dtype
+            )
+            beat = out["beat"][:, bs : cs - bs]  # (n_chunks, stride)
+            downbeat = out["downbeat"][:, bs : cs - bs]
+            buf_b = jnp.full((n_chunks * stride,), -1000.0, jnp.float32)
+            buf_d = jnp.full((n_chunks * stride,), -1000.0, jnp.float32)
+            # keep_first: write in reverse so earlier chunks win
+            # (reference beat_this/inference.py:174-184)
+            for i in reversed(range(n_chunks)):
+                buf_b = jax.lax.dynamic_update_slice(buf_b, beat[i], (starts[i],))
+                buf_d = jax.lax.dynamic_update_slice(buf_d, downbeat[i], (starts[i],))
+            return buf_b, buf_d
+
+        return jax.jit(fn)
+
+    def predict(self, spect: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """spect: (T, mel_bins) -> (beat_logits, downbeat_logits), each (T,)
+        float32."""
+        spect = np.asarray(spect, dtype=np.float32)
+        t = spect.shape[0]
+        starts = plan_chunks(t, self.chunk_size, self.border_size)
+        n_b = _bucket(len(starts))
+        if n_b not in self._fns:
+            self._fns[n_b] = self._build(n_b)
+        # pad spect: border_size zeros in front, zeros to bucket length behind
+        padded_len = n_b * self.stride + 2 * self.border_size
+        spect_pad = np.zeros((padded_len, spect.shape[1]), np.float32)
+        spect_pad[self.border_size : self.border_size + t] = spect
+        # shift starts into padded coordinates; pad with copies of the last
+        # start (idempotent overwrites under keep_first)
+        starts_shifted = np.full((n_b,), starts[-1] + self.border_size, np.int32)
+        starts_shifted[: len(starts)] = starts + self.border_size
+        buf_b, buf_d = self._fns[n_b](
+            self.model.params, self.model.state, jnp.asarray(spect_pad),
+            jnp.asarray(starts_shifted),
+        )
+        return np.asarray(buf_b)[:t], np.asarray(buf_d)[:t]
+
+
+def split_predict_aggregate(
+    spect,
+    chunk_size: int,
+    border_size: int,
+    overlap_mode: str,
+    model: LoadedModel,
+    compute_dtype=jnp.float32,
+) -> dict:
+    """Functional equivalent of the reference helper
+    (beat_this/inference.py:188-230): returns framewise logits for a whole
+    piece. Only "keep_first" overlap handling is provided (the reference
+    default everywhere)."""
+    if overlap_mode != "keep_first":
+        raise NotImplementedError("only overlap_mode='keep_first' is supported")
+    predictor = ChunkedPredictor(model, chunk_size, border_size, compute_dtype)
+    beat, downbeat = predictor.predict(np.asarray(spect))
+    return {"beat": beat, "downbeat": downbeat}
+
+
+# ---------------------------------------------------------------------------
+# Class tower (API parity with reference beat_this/inference.py:233-315)
+# ---------------------------------------------------------------------------
+
+
+class Spect2Frames:
+    """Framewise beat/downbeat logits from a (T, 128) log-mel spectrogram."""
+
+    def __init__(self, checkpoint_path="final0", device=None, float16=False,
+                 chunk_size=CHUNK_SIZE, border_size=BORDER_SIZE):
+        # `device` is accepted for API compatibility; JAX places computation
+        # on the default backend (TPU if available). float16 selects bfloat16
+        # compute, the TPU-native half precision.
+        self.device = device
+        self.float16 = float16
+        self.model = load_model(checkpoint_path)
+        self.predictor = ChunkedPredictor(
+            self.model,
+            chunk_size=chunk_size,
+            border_size=border_size,
+            compute_dtype=jnp.bfloat16 if float16 else jnp.float32,
+        )
+
+    def spect2frames(self, spect):
+        return self.predictor.predict(np.asarray(spect))
+
+    def __call__(self, spect):
+        return self.spect2frames(spect)
+
+
+class Audio2Frames(Spect2Frames):
+    """Framewise logits from an audio waveform at any sample rate."""
+
+    _MEL_BUCKET_SAMPLES = 441 * 744  # ~14.9 s granularity for compile reuse
+
+    def signal2spect(self, signal, sr):
+        signal = np.asarray(signal)
+        if signal.ndim == 2:
+            signal = signal.mean(1)
+        elif signal.ndim != 1:
+            raise ValueError(f"Expected 1D or 2D signal, got shape {signal.shape}")
+        if sr != 22050:
+            signal = resample(signal, in_rate=sr, out_rate=22050)
+        n = len(signal)
+        frames = num_frames(n)
+        # pad to a bucket so mel reuses a few compiled graphs
+        bucket = self._MEL_BUCKET_SAMPLES
+        padded = np.zeros(max(1, math.ceil(n / bucket)) * bucket, np.float32)
+        padded[:n] = signal.astype(np.float32)
+        spect = log_mel_spectrogram(jnp.asarray(padded), LogMelConfig())
+        return np.asarray(spect)[:frames]
+
+    def __call__(self, signal, sr):
+        spect = self.signal2spect(signal, sr)
+        return self.spect2frames(spect)
+
+
+class Audio2Beats(Audio2Frames):
+    """Beat and downbeat times (seconds) from an audio waveform.
+
+    Args mirror the reference (beat_this/inference.py:284-299); `dbn` selects
+    the on-device Viterbi decoder equivalent to madmom's DBN."""
+
+    def __init__(self, checkpoint_path="final0", device=None, float16=False,
+                 dbn=False, chunk_size=CHUNK_SIZE, border_size=BORDER_SIZE):
+        super().__init__(checkpoint_path, device, float16, chunk_size, border_size)
+        self.frames2beats = Postprocessor(type="dbn" if dbn else "minimal")
+
+    def __call__(self, signal, sr):
+        beat_logits, downbeat_logits = super().__call__(signal, sr)
+        return self.frames2beats(beat_logits, downbeat_logits)
+
+
+class File2Beats(Audio2Beats):
+    def __call__(self, audio_path):
+        signal, sr = load_audio(audio_path)
+        return super().__call__(signal, sr)
+
+
+class File2File(File2Beats):
+    def __call__(self, audio_path, output_path):
+        beats, downbeats = super().__call__(audio_path)
+        save_beat_tsv(beats, downbeats, output_path)

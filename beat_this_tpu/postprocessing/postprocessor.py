@@ -1,0 +1,151 @@
+"""Postprocessing of framewise logits into beat/downbeat times.
+
+Two modes, mirroring the reference (beat_this/model/postprocessor.py:9-173):
+
+  * "minimal": strict local-maximum peak picking. The heavy part (masking,
+    +/-70 ms max-pool comparison, thresholding) runs batched on device as one
+    XLA kernel (`beat_this_tpu.ops.pool.peak_pick`); only the tiny variable-
+    length tail (adjacent-peak dedup, downbeat-to-beat snapping) runs on host.
+  * "dbn": the madmom DBNDownBeatTrackingProcessor equivalent, re-implemented
+    as a `lax.scan` Viterbi decoder on device (beat_this_tpu/postprocessing/dbn.py).
+
+Inputs may be single pieces (T,) or batches (B, T) with an optional padding
+mask; outputs are numpy arrays of times in seconds (tuples thereof for
+batches), exactly like the reference API.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from beat_this_tpu.ops.pool import peak_pick
+
+
+def deduplicate_peaks(peaks, width=1) -> np.ndarray:
+    """Merge groups of adjacent peaks (<= `width` frames apart) into their
+    running average (reference: beat_this/model/postprocessor.py:176-197)."""
+    result = []
+    peaks = map(int, peaks)
+    try:
+        p = next(peaks)
+    except StopIteration:
+        return np.array(result)
+    c = 1
+    for p2 in peaks:
+        if p2 - p <= width:
+            c += 1
+            p += (p2 - p) / c  # running mean
+        else:
+            result.append(p)
+            p = p2
+            c = 1
+    result.append(p)
+    return np.array(result)
+
+
+class Postprocessor:
+    """Convert framewise beat/downbeat logits to times in seconds.
+
+    Args:
+        type: "minimal" or "dbn".
+        fps: frames per second of the model output (default 50).
+    """
+
+    def __init__(self, type: str = "minimal", fps: int = 50):
+        if type not in ("minimal", "dbn"):
+            raise ValueError("Invalid postprocessing type")
+        self.type = type
+        self.fps = fps
+        if type == "dbn":
+            from beat_this_tpu.postprocessing.dbn import DbnDecoder
+
+            self.dbn = DbnDecoder(
+                beats_per_bar=(3, 4),
+                min_bpm=55.0,
+                max_bpm=215.0,
+                fps=fps,
+                transition_lambda=100.0,
+            )
+
+    def __call__(self, beat, downbeat, padding_mask=None):
+        beat = np.asarray(beat)
+        downbeat = np.asarray(downbeat)
+        batched = beat.ndim != 1
+        if padding_mask is None:
+            padding_mask = np.ones_like(beat, dtype=bool)
+        else:
+            padding_mask = np.asarray(padding_mask).astype(bool)
+        if not batched:
+            beat, downbeat, padding_mask = (
+                beat[None], downbeat[None], padding_mask[None]
+            )
+        if self.type == "minimal":
+            out_beat, out_downbeat = self.postp_minimal(beat, downbeat, padding_mask)
+        else:
+            out_beat, out_downbeat = self.postp_dbn(beat, downbeat, padding_mask)
+        if not batched:
+            return out_beat[0], out_downbeat[0]
+        return out_beat, out_downbeat
+
+    # -- minimal ----------------------------------------------------------
+    def postp_minimal(self, beat, downbeat, padding_mask):
+        # one fused device call for both targets
+        stacked = np.stack([beat, downbeat], axis=0)  # (2, B, T)
+        mask = np.broadcast_to(padding_mask[None], stacked.shape)
+        peaks = np.asarray(peak_pick(stacked, mask))  # (2, B, T) bool
+        with ThreadPoolExecutor() as executor:
+            results = list(
+                executor.map(
+                    self._postp_minimal_item, peaks[0], peaks[1], padding_mask
+                )
+            )
+        out_beat, out_downbeat = zip(*results)
+        return tuple(out_beat), tuple(out_downbeat)
+
+    def _postp_minimal_item(self, beat_peaks, downbeat_peaks, mask):
+        """Host tail per piece (reference:
+        beat_this/model/postprocessor.py:113-136)."""
+        beat_frame = np.flatnonzero(beat_peaks[mask])
+        downbeat_frame = np.flatnonzero(downbeat_peaks[mask])
+        beat_frame = deduplicate_peaks(beat_frame, width=1)
+        downbeat_frame = deduplicate_peaks(downbeat_frame, width=1)
+        beat_time = beat_frame / self.fps
+        downbeat_time = downbeat_frame / self.fps
+        if len(beat_time) > 0:
+            # snap each downbeat to its nearest beat
+            for i, d_time in enumerate(downbeat_time):
+                beat_idx = np.argmin(np.abs(beat_time - d_time))
+                downbeat_time[i] = beat_time[beat_idx]
+        downbeat_time = np.unique(downbeat_time)
+        return beat_time, downbeat_time
+
+    # -- dbn --------------------------------------------------------------
+    def postp_dbn(self, beat, downbeat, padding_mask):
+        # logits -> probabilities, clamped away from 0/1
+        # (reference: beat_this/model/postprocessor.py:138-151)
+        beat_prob = 1.0 / (1.0 + np.exp(-beat.astype(np.float64)))
+        downbeat_prob = 1.0 / (1.0 + np.exp(-downbeat.astype(np.float64)))
+        epsilon = 1e-5
+        beat_prob = beat_prob * (1 - epsilon) + epsilon / 2
+        downbeat_prob = downbeat_prob * (1 - epsilon) + epsilon / 2
+        results = [
+            self._postp_dbn_item(b, d, m)
+            for b, d, m in zip(beat_prob, downbeat_prob, padding_mask)
+        ]
+        out_beat, out_downbeat = zip(*results)
+        return tuple(out_beat), tuple(out_downbeat)
+
+    def _postp_dbn_item(self, beat_prob, downbeat_prob, mask):
+        beat_prob = beat_prob[mask]
+        downbeat_prob = downbeat_prob[mask]
+        epsilon = 1e-5
+        combined = np.stack(
+            [np.maximum(beat_prob - downbeat_prob, epsilon / 2), downbeat_prob],
+            axis=1,
+        )
+        dbn_out = self.dbn(combined)
+        postp_beat = dbn_out[:, 0]
+        postp_downbeat = dbn_out[dbn_out[:, 1] == 1][:, 0]
+        return postp_beat, postp_downbeat

@@ -1,0 +1,167 @@
+"""Tests for chunk planning, the batched chunked predictor (vs a host-side
+oracle implementing the reference chunk/stitch semantics), the minimal
+postprocessor, and TSV output."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from beat_this_tpu.inference import ChunkedPredictor, LoadedModel, plan_chunks
+from beat_this_tpu.model import BeatThisConfig, apply_beat_this, init_beat_this
+from beat_this_tpu.postprocessing import Postprocessor, deduplicate_peaks
+from beat_this_tpu.utils import infer_beat_numbers, save_beat_tsv
+
+CHUNK, BORDER = 96, 6  # small chunks so CPU tests stay fast
+STRIDE = CHUNK - 2 * BORDER
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = BeatThisConfig(transformer_dim=64, n_layers=1)
+    params, state = init_beat_this(3, cfg)
+    return LoadedModel(cfg, params, state)
+
+
+def oracle_predict(model, spect, chunk_size, border_size):
+    """Host-side re-implementation of the reference chunked inference
+    (beat_this/inference.py:100-230) with fixed-length (zero-padded) chunks,
+    keep_first overlap, avoid_short_end."""
+    t = len(spect)
+    starts = plan_chunks(t, chunk_size, border_size)
+    fwd = jax.jit(
+        lambda x: apply_beat_this(model.params, model.state, x, model.config)[0]
+    )
+    chunk_outs = []
+    for start in starts:
+        chunk = np.zeros((chunk_size, spect.shape[1]), np.float32)
+        lo, hi = max(start, 0), min(start + chunk_size, t)
+        chunk[lo - start : hi - start] = spect[lo:hi]
+        out = fwd(chunk[None])
+        chunk_outs.append(
+            (np.asarray(out["beat"][0]), np.asarray(out["downbeat"][0]))
+        )
+    beat = np.full(t, -1000.0, np.float32)
+    downbeat = np.full(t, -1000.0, np.float32)
+    for start, (cb, cd) in reversed(list(zip(starts, chunk_outs))):
+        lo = start + border_size
+        hi = start + chunk_size - border_size
+        piece = slice(lo, min(hi, t))
+        beat[piece] = cb[border_size : border_size + piece.stop - piece.start]
+        downbeat[piece] = cd[border_size : border_size + piece.stop - piece.start]
+    return beat, downbeat
+
+
+def test_plan_chunks_matches_reference_semantics():
+    # reference: starts every chunk_size - 2*border from -border;
+    # last start moved to length - (chunk_size - border) when long enough
+    starts = plan_chunks(300, 96, 6)
+    assert starts[0] == -6
+    assert np.all(np.diff(starts)[:-1] == STRIDE)
+    assert starts[-1] == 300 - (96 - 6)
+    # piece shorter than stride: single chunk, no shift
+    assert list(plan_chunks(50, 96, 6)) == [-6]
+    # exactly stride: single chunk
+    assert list(plan_chunks(STRIDE, 96, 6)) == [-6]
+    assert list(plan_chunks(STRIDE + 1, 96, 6)) == [-6, (STRIDE + 1) - 90]
+
+
+@pytest.mark.parametrize("t", [300, 2 * STRIDE, 200, 97])
+def test_chunked_predictor_matches_host_oracle(model, t):
+    rng = np.random.RandomState(t)
+    spect = rng.randn(t, 128).astype(np.float32)
+    predictor = ChunkedPredictor(model, chunk_size=CHUNK, border_size=BORDER)
+    beat, downbeat = predictor.predict(spect)
+    ob, od = oracle_predict(model, spect, CHUNK, BORDER)
+    assert beat.shape == (t,)
+    np.testing.assert_allclose(beat, ob, atol=5e-5)
+    np.testing.assert_allclose(downbeat, od, atol=5e-5)
+
+
+def test_short_piece_single_chunk(model):
+    spect = np.random.RandomState(0).randn(40, 128).astype(np.float32)
+    predictor = ChunkedPredictor(model, chunk_size=CHUNK, border_size=BORDER)
+    beat, downbeat = predictor.predict(spect)
+    ob, od = oracle_predict(model, spect, CHUNK, BORDER)
+    np.testing.assert_allclose(beat, ob, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# postprocessor
+# ---------------------------------------------------------------------------
+
+
+def logits_with_peaks(t, peak_frames, peak_value=5.0):
+    x = np.full(t, -5.0, np.float32)
+    x[peak_frames] = peak_value
+    return x
+
+
+def test_minimal_postprocessor_basic():
+    pp = Postprocessor("minimal", fps=50)
+    beat = logits_with_peaks(500, [50, 150, 250, 350, 450])
+    downbeat = logits_with_peaks(500, [52, 250])  # 52 should snap to beat 50
+    b, d = pp(beat, downbeat)
+    np.testing.assert_allclose(b, [1.0, 3.0, 5.0, 7.0, 9.0])
+    np.testing.assert_allclose(d, [1.0, 5.0])  # 52/50 -> snapped to 1.0
+
+
+def test_minimal_postprocessor_batched_and_mask():
+    pp = Postprocessor("minimal", fps=50)
+    beat = np.stack([logits_with_peaks(300, [100]), logits_with_peaks(300, [100, 290])])
+    downbeat = np.full((2, 300), -5.0, np.float32)
+    mask = np.ones((2, 300), bool)
+    mask[1, 250:] = False  # peak at 290 is padding
+    b, d = pp(beat, downbeat, mask)
+    assert isinstance(b, tuple) and len(b) == 2
+    np.testing.assert_allclose(b[0], [2.0])
+    np.testing.assert_allclose(b[1], [2.0])
+    assert len(d[0]) == 0
+
+
+def test_minimal_postprocessor_adjacent_peaks_dedup():
+    pp = Postprocessor("minimal", fps=50)
+    # plateau: two equal maxima 1 frame apart both survive peak picking
+    beat = np.full(200, -5.0, np.float32)
+    beat[100] = beat[101] = 4.0
+    b, _ = pp(beat, np.full(200, -5.0, np.float32))
+    np.testing.assert_allclose(b, [100.5 / 50])  # averaged then /fps
+
+
+def test_deduplicate_peaks():
+    # running-mean semantics: after merging 1,2 the mean 1.5 is >1 from 3,
+    # so the chain breaks (matches reference postprocessor.py:176-197)
+    np.testing.assert_allclose(deduplicate_peaks([1, 2, 3, 10]), [1.5, 3.0, 10.0])
+    np.testing.assert_allclose(deduplicate_peaks([4, 5]), [4.5])
+    np.testing.assert_allclose(deduplicate_peaks([]), [])
+    np.testing.assert_allclose(deduplicate_peaks([5]), [5.0])
+
+
+def test_peaks_below_threshold_dropped():
+    pp = Postprocessor("minimal", fps=50)
+    beat = np.full(100, -5.0, np.float32)
+    beat[50] = -0.1  # below logit 0 => prob < 0.5
+    b, _ = pp(beat, np.full(100, -5.0, np.float32))
+    assert len(b) == 0
+
+
+# ---------------------------------------------------------------------------
+# beat numbering + TSV
+# ---------------------------------------------------------------------------
+
+
+def test_infer_beat_numbers_pickup():
+    beats = np.array([0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5])
+    downbeats = np.array([1.0, 3.0])  # 1 pickup beat, 4 beats per measure
+    numbers = infer_beat_numbers(beats, downbeats)
+    np.testing.assert_array_equal(numbers, [4, 1, 2, 3, 4, 1, 2])
+
+
+def test_save_beat_tsv(tmp_path):
+    out = tmp_path / "x.beats"
+    beats = np.array([0.5, 1.0, 1.5, 2.0])
+    downbeats = np.array([1.0])
+    save_beat_tsv(beats, downbeats, out)
+    lines = out.read_text().strip().split("\n")
+    assert lines[1] == "1.0\t1"
+    assert len(lines) == 4
