@@ -23,9 +23,12 @@ def max_pool_1d(x: jnp.ndarray, window: int, padding: int = 0) -> jnp.ndarray:
     """
     if window == 1 and padding == 0:
         return x
-    neg = jnp.array(-jnp.inf, dtype=x.dtype) if jnp.issubdtype(
-        x.dtype, jnp.floating
-    ) else jnp.iinfo(x.dtype).min
+    # the init value must be a literal scalar so XLA recognizes the max
+    # monoid (-> reduce_window_max primitive, which has a gradient rule)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        neg = -float("inf")
+    else:
+        neg = int(jnp.iinfo(x.dtype).min)
     dims = (1,) * (x.ndim - 1) + (window,)
     strides = (1,) * x.ndim
     pads = ((0, 0),) * (x.ndim - 1) + ((padding, padding),)
