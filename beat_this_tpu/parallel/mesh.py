@@ -46,3 +46,14 @@ def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
 
 def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
+
+
+def usable_data_devices(batch_size: int, n_devices: int | None = None) -> int:
+    """Largest device count <= n_devices that evenly divides `batch_size`
+    (data-parallel sharding requires the batch axis to split evenly)."""
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    for d in range(min(batch_size, n_devices), 0, -1):
+        if batch_size % d == 0:
+            return d
+    return 1

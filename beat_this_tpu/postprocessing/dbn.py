@@ -1,0 +1,272 @@
+"""Bar-pointer DBN downbeat decoding as an on-device `lax.scan` Viterbi.
+
+TPU-native replacement for madmom's Cython `DBNDownBeatTrackingProcessor`
+(used by the reference at beat_this/model/postprocessor.py:28-37). The state
+space, transition model, observation model, thresholding and beat-correction
+logic reproduce madmom's published semantics exactly:
+
+  * Per bar length B in `beats_per_bar`, a bar state space of B beat cycles;
+    each beat cycle spans integer tempo intervals
+    round(60*fps/max_bpm)..round(60*fps/min_bpm) (linear spacing — the
+    default num_tempi=60 exceeds the 42 intervals at 55-215 bpm/50 fps, so
+    madmom keeps the linear grid), with `interval` position states per
+    interval.
+  * Within a beat, states advance deterministically (probability 1). At beat
+    boundaries, tempo may change with probability
+    exp(-lambda * |new/old - 1|), pruned below machine epsilon and
+    row-normalized.
+  * Observations: densities [no-beat, beat, downbeat] =
+    [log((1-sum(act))/(lambda_obs-1)), log(act_beat), log(act_downbeat)]
+    with lambda_obs=16; states in the first 1/16 of a beat emit "beat", of
+    the first beat "downbeat".
+  * One HMM per bar length, decoded independently from a uniform initial
+    distribution with a transition step before the first observation
+    (madmom's Viterbi convention); the highest-log-probability pattern wins.
+  * Activations are trimmed where both columns are < threshold (0.05), and
+    with `correct=True` each decoded beat snaps to the frame with the
+    maximum single activation value inside its beat region.
+
+The per-frame recursion is a padded gather + max over at most K predecessor
+states — a few fused VPU ops over a ~5k-state vector — scanned over frames on
+device. Backtracking runs on host from the compact per-frame choice indices.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# state space / transition / observation construction (host, numpy)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PatternHmm:
+    """Precomputed decode structure for one bar length."""
+
+    num_beats: int
+    num_states: int
+    state_positions: np.ndarray  # (S,) float, 0..num_beats
+    from_idx: np.ndarray  # (S, K) int32 predecessor state ids
+    log_probs: np.ndarray  # (S, K) float32 log transition probs (-inf pad)
+    pointers: np.ndarray  # (S,) int32 observation pointer (0/1/2)
+
+
+def _beat_state_space(min_interval: float, max_interval: float):
+    intervals = np.arange(np.round(min_interval), np.round(max_interval) + 1)
+    intervals = intervals.astype(int)
+    num_states = int(intervals.sum())
+    first_states = np.cumsum(np.r_[0, intervals[:-1]]).astype(int)
+    last_states = np.cumsum(intervals).astype(int) - 1
+    positions = np.empty(num_states)
+    state_intervals = np.empty(num_states, dtype=int)
+    idx = 0
+    for i in intervals:
+        positions[idx : idx + i] = np.arange(i) / i
+        state_intervals[idx : idx + i] = i
+        idx += i
+    return intervals, num_states, first_states, last_states, positions, state_intervals
+
+
+def _exponential_transition(from_intervals, to_intervals, transition_lambda):
+    ratio = to_intervals.astype(float) / from_intervals.astype(float)[:, None]
+    prob = np.exp(-transition_lambda * np.abs(ratio - 1.0))
+    prob[prob <= np.spacing(1)] = 0
+    prob /= prob.sum(axis=1)[:, None]
+    return prob
+
+
+def build_pattern_hmm(
+    num_beats: int,
+    min_bpm: float,
+    max_bpm: float,
+    fps: float,
+    transition_lambda: float,
+    observation_lambda: float = 16.0,
+) -> PatternHmm:
+    min_interval = 60.0 * fps / max_bpm
+    max_interval = 60.0 * fps / min_bpm
+    (intervals, beat_states, first_b, last_b, pos_b, int_b) = _beat_state_space(
+        min_interval, max_interval
+    )
+    # bar state space: replicate the beat space num_beats times
+    num_states = beat_states * num_beats
+    positions = np.concatenate([pos_b + n for n in range(num_beats)])
+    state_intervals = np.tile(int_b, num_beats)
+    first_states = [first_b + n * beat_states for n in range(num_beats)]
+    last_states = [last_b + n * beat_states for n in range(num_beats)]
+
+    # transitions: interior states advance deterministically from state-1
+    is_first = np.zeros(num_states, dtype=bool)
+    for f in first_states:
+        is_first[f] = True
+    # boundary transitions with tempo change
+    trans_prob = _exponential_transition(
+        state_intervals[last_states[0]], state_intervals[first_b], transition_lambda
+    )  # (42, 42) from_prev_last x to_first — identical across beats
+    max_preds = max(1, int((trans_prob > 0).sum(axis=0).max()))
+    from_idx = np.zeros((num_states, max_preds), dtype=np.int32)
+    log_probs = np.full((num_states, max_preds), -np.inf, dtype=np.float32)
+    interior = ~is_first
+    from_idx[interior, 0] = np.flatnonzero(interior) - 1
+    log_probs[interior, 0] = 0.0
+    for beat in range(num_beats):
+        firsts = first_states[beat]
+        lasts = last_states[beat - 1]  # beat-1 wraps to the last beat
+        for j, state in enumerate(firsts):
+            srcs = np.flatnonzero(trans_prob[:, j] > 0)
+            from_idx[state, : len(srcs)] = lasts[srcs]
+            log_probs[state, : len(srcs)] = np.log(trans_prob[srcs, j])
+
+    # observation pointers
+    pointers = np.zeros(num_states, dtype=np.int32)
+    border = 1.0 / observation_lambda
+    pointers[positions % 1 < border] = 1
+    pointers[positions < border] = 2
+
+    return PatternHmm(
+        num_beats=num_beats,
+        num_states=num_states,
+        state_positions=positions,
+        from_idx=from_idx,
+        log_probs=log_probs,
+        pointers=pointers,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Viterbi (device scan + host backtracking)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_states",))
+def _viterbi_scan(from_idx, log_probs, pointers, log_densities, num_states):
+    """Run the forward max-product pass.
+
+    Args:
+        from_idx: (S, K) predecessor ids.
+        log_probs: (S, K) log transition probabilities.
+        pointers: (S,) observation pointer per state.
+        log_densities: (T, 3) per-frame log densities [no-beat, beat, downbeat].
+    Returns:
+        (final_scores (S,), choices (T, S) int8 argmax predecessor slot).
+    """
+    init = jnp.full((num_states,), -jnp.log(float(num_states)), jnp.float32)
+
+    def step(v, dens):
+        cand = v[from_idx] + log_probs  # (S, K)
+        best = jnp.argmax(cand, axis=1)
+        v_new = jnp.max(cand, axis=1) + dens[pointers]
+        return v_new, best.astype(jnp.int8)
+
+    final, choices = jax.lax.scan(step, init, log_densities)
+    return final, choices
+
+
+def threshold_activations(activations: np.ndarray, threshold: float):
+    """Trim leading/trailing frames where all activations are below the
+    threshold; returns (trimmed, first_index) — madmom semantics."""
+    first = last = 0
+    idx = np.nonzero(activations >= threshold)[0]
+    if idx.any():
+        first = max(first, int(np.min(idx)))
+        last = min(len(activations), int(np.max(idx)) + 1)
+        return activations[first:last], first
+    return activations[0:0], 0
+
+
+class DbnDecoder:
+    """Drop-in equivalent of madmom's DBNDownBeatTrackingProcessor for the
+    parameters the reference uses. Returns rows of [time_s, beat_number]."""
+
+    def __init__(
+        self,
+        beats_per_bar=(3, 4),
+        min_bpm: float = 55.0,
+        max_bpm: float = 215.0,
+        fps: float = 50.0,
+        transition_lambda: float = 100.0,
+        observation_lambda: float = 16.0,
+        threshold: float = 0.05,
+        correct: bool = True,
+    ):
+        self.fps = float(fps)
+        self.threshold = threshold
+        self.correct = correct
+        self.observation_lambda = observation_lambda
+        self.patterns = [
+            build_pattern_hmm(
+                b, min_bpm, max_bpm, fps, transition_lambda, observation_lambda
+            )
+            for b in beats_per_bar
+        ]
+
+    def _log_densities(self, activations: np.ndarray) -> np.ndarray:
+        dens = np.empty((len(activations), 3))
+        dens[:, 0] = np.log(
+            (1.0 - activations.sum(axis=1)) / (self.observation_lambda - 1)
+        )
+        dens[:, 1] = np.log(activations[:, 0])
+        dens[:, 2] = np.log(activations[:, 1])
+        return dens
+
+    def _decode_pattern(self, hmm: PatternHmm, log_densities: np.ndarray):
+        final, choices = _viterbi_scan(
+            jnp.asarray(hmm.from_idx),
+            jnp.asarray(hmm.log_probs),
+            jnp.asarray(hmm.pointers),
+            jnp.asarray(log_densities, dtype=jnp.float32),
+            hmm.num_states,
+        )
+        final = np.asarray(final)
+        choices = np.asarray(choices)
+        state = int(np.argmax(final))
+        log_prob = float(final[state])
+        path = np.empty(len(log_densities), dtype=np.int64)
+        for t in range(len(log_densities) - 1, -1, -1):
+            path[t] = state
+            state = int(hmm.from_idx[state, choices[t, state]])
+        return path, log_prob
+
+    def __call__(self, activations: np.ndarray) -> np.ndarray:
+        """activations: (T, 2) [beat-only, downbeat] probabilities."""
+        activations = np.asarray(activations, dtype=np.float64)
+        first = 0
+        if self.threshold:
+            activations, first = threshold_activations(activations, self.threshold)
+        if not activations.any():
+            return np.empty((0, 2))
+        log_densities = self._log_densities(activations)
+        results = [self._decode_pattern(h, log_densities) for h in self.patterns]
+        best = int(np.argmax([r[1] for r in results]))
+        path, _ = results[best]
+        hmm = self.patterns[best]
+        positions = hmm.state_positions[path]
+        beat_numbers = positions.astype(int) + 1
+        if self.correct:
+            beats = []
+            beat_range = hmm.pointers[path] >= 1
+            idx = np.nonzero(np.diff(beat_range.astype(int)))[0] + 1
+            if beat_range.size and beat_range[0]:
+                idx = np.r_[0, idx]
+            if beat_range.size and beat_range[-1]:
+                idx = np.r_[idx, len(beat_range)]
+            if idx.any():
+                for left, right in idx.reshape((-1, 2)):
+                    # frame with the highest single activation value
+                    peak = int(np.argmax(activations[left:right]) // 2) + left
+                    beats.append(peak)
+            beats = np.asarray(beats, dtype=int)
+        else:
+            beats = np.nonzero(np.diff(beat_numbers))[0] + 1
+        if beats.size == 0:
+            return np.empty((0, 2))
+        return np.vstack(
+            ((beats + first) / self.fps, beat_numbers[beats])
+        ).T

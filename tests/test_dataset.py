@@ -1,0 +1,205 @@
+"""Data pipeline tests on a synthetic on-disk corpus (same layout as the
+reference: annotations/<ds>/..., audio/spectrograms/<ds>.npz or npy dirs)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from beat_this_tpu.data import BeatDataModule, BeatTrackingDataset, MemmappedNpz
+from beat_this_tpu.data.augment import precomputed_augmentation_filenames
+from beat_this_tpu.data.dataset import prepare_annotations
+from beat_this_tpu.data.mmnpz import write_npz
+
+AUGS = {"pitch": {"min": -1, "max": 1}, "tempo": {"min": -4, "max": 4, "stride": 4}}
+FPS = 50
+
+
+def make_corpus(root, n_pieces=4, frames=400, use_npz=True, dataset="alpha",
+                has_downbeats=True, augmentations=AUGS, split="single"):
+    ann = root / "annotations" / dataset
+    (ann / "annotations" / "beats").mkdir(parents=True, exist_ok=True)
+    (ann / "info.json").write_text(json.dumps({"has_downbeats": has_downbeats}))
+    spect_dir = root / "audio" / "spectrograms"
+    spect_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(42)
+    bundle = {}
+    split_rows = []
+    for i in range(n_pieces):
+        piece = f"piece{i}"
+        n = frames + 40 * i
+        for fn in precomputed_augmentation_filenames(augmentations):
+            arr = rng.randn(n, 128).astype(np.float16)
+            if use_npz:
+                bundle[f"{piece}/{fn[:-4]}"] = arr
+            else:
+                d = spect_dir / dataset / piece
+                d.mkdir(parents=True, exist_ok=True)
+                np.save(d / fn, arr)
+        # beats every 0.5 s, downbeats every 2 s
+        times = np.arange(0.5, n / FPS - 0.1, 0.5)
+        values = (np.arange(len(times)) % 4 == 0) * 1 + (
+            np.arange(len(times)) % 4 != 0
+        ) * (np.arange(len(times)) % 4 + 1)
+        if has_downbeats:
+            np.savetxt(
+                ann / "annotations" / "beats" / f"{piece}.beats",
+                np.stack([times, values], 1), fmt="%.3f\t%d",
+            )
+        else:
+            np.savetxt(ann / "annotations" / "beats" / f"{piece}.beats", times)
+        part = "val" if i == n_pieces - 1 else "train"
+        split_rows.append(f"{piece}\t{part}")
+    if split == "single":
+        (ann / "single.split").write_text("\n".join(split_rows) + "\n")
+    else:
+        rows = [f"piece{i}\t{i % 2}" for i in range(n_pieces)]
+        (ann / "8-folds.split").write_text("\n".join(rows) + "\n")
+    if use_npz:
+        write_npz(spect_dir / f"{dataset}.npz", bundle)
+    return dataset
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    make_corpus(root, use_npz=True, dataset="alpha")
+    make_corpus(root, use_npz=False, dataset="beta", has_downbeats=False,
+                augmentations={})
+    make_corpus(root, use_npz=True, dataset="gtzan", augmentations={})
+    return root
+
+
+def test_mmnpz_roundtrip(tmp_path):
+    arrays = {
+        "a/track": np.random.randn(10, 4).astype(np.float16),
+        "b/track": np.arange(6, dtype=np.int32).reshape(2, 3),
+    }
+    write_npz(tmp_path / "x.npz", arrays)
+    m = MemmappedNpz(tmp_path / "x.npz")
+    assert set(m) == set(arrays)
+    for k in arrays:
+        np.testing.assert_array_equal(m[k], arrays[k])
+    assert "a/track" in m and "nope" not in m
+
+
+def test_dataset_items_and_excerpts(corpus):
+    ds = BeatTrackingDataset(
+        ["alpha/piece0", "alpha/piece1"], corpus, train_length=300,
+        augmentations=AUGS, deterministic=False,
+    )
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["spect"].shape == (300, 128)
+    assert item["truth_beat"].shape == (300,)
+    assert item["truth_beat"].dtype == bool
+    assert item["padding_mask"].all()
+    assert item["downbeat_mask"] is True
+    # framewise targets align with the cropped annotations
+    beat_frames = np.flatnonzero(item["truth_beat"])
+    if len(beat_frames) > 1:
+        np.testing.assert_allclose(np.diff(beat_frames), 25)  # 0.5 s at 50 fps
+
+
+def test_dataset_padding_short_piece(corpus):
+    ds = BeatTrackingDataset(
+        ["alpha/piece0"], corpus, train_length=1000, augmentations={},
+    )
+    item = ds[0]
+    assert item["spect"].shape == (1000, 128)
+    assert not item["padding_mask"][-1]
+    assert item["padding_mask"][:400].all()
+    assert not item["truth_beat"][400:].any()
+
+
+def test_dataset_npy_fallback_and_no_downbeats(corpus):
+    ds = BeatTrackingDataset(
+        ["beta/piece0"], corpus, train_length=200, augmentations={},
+    )
+    item = ds[0]
+    assert item["downbeat_mask"] is False
+    assert not item["truth_downbeat"].any()  # values all 0 -> no downbeats
+
+
+def test_tempo_augmentation_scales_annotations(corpus):
+    ds = BeatTrackingDataset(
+        ["alpha/piece0"], corpus, train_length=300,
+        augmentations={"tempo": {"min": 4, "max": 4, "stride": 4}},
+        deterministic=True,
+    )
+    item = ds[0]
+    base = BeatTrackingDataset(
+        ["alpha/piece0"], corpus, train_length=300, augmentations={},
+        deterministic=True,
+    )[0]
+    b1 = np.flatnonzero(item["truth_beat"])
+    b0 = np.flatnonzero(base["truth_beat"])
+    # 4% faster tempo -> beat spacing shrinks (25 -> 24 frames)
+    assert np.diff(b1)[0] < np.diff(b0)[0]
+
+
+def test_oversampling(corpus):
+    ds = BeatTrackingDataset(
+        ["alpha/piece0", "alpha/piece3"], corpus, train_length=100,
+        augmentations={}, length_based_oversampling_factor=1.0,
+    )
+    # piece lengths 400 and 520 -> factors 4 and 5
+    assert len(ds) == 9
+
+
+def test_prepare_annotations_crop_and_orig():
+    item = {
+        "beat_time": np.array([0.1, 0.5, 1.0, 1.5, 2.0]),
+        "beat_value": np.array([1, 2, 1, 2, 1]),
+    }
+    fb, fd, ob, od = prepare_annotations(item, start_frame=25, end_frame=75, fps=50)
+    # frames 25..75 -> beats at 0.5 (frame 0), 1.0 (frame 25) within excerpt
+    np.testing.assert_array_equal(np.flatnonzero(fb), [0, 25])
+    np.testing.assert_array_equal(np.flatnonzero(fd), [25])
+    np.testing.assert_allclose(ob, [0.0, 0.5])
+    np.testing.assert_allclose(od, [0.5])
+
+
+def test_datamodule_splits_and_batches(corpus):
+    dm = BeatDataModule(
+        corpus, batch_size=1, train_length=256, augmentations=AUGS,
+        test_dataset="gtzan",
+    )
+    dm.setup("fit")
+    # alpha: 3 train + 1 val; beta has no augmented variants -> skipped items
+    assert all(i.startswith(("alpha/", "beta/")) for i in dm.train_items)
+    assert len(dm.val_items) == 2
+    batch = next(dm.train_batches(accum_steps=2))
+    assert batch["spect"].shape == (2, 1, 256, 128)
+    assert batch["truth_beat"].shape == (2, 1, 256)
+    assert batch["downbeat_mask"].shape == (2, 1)
+    dm.setup("test")
+    assert len(dm.test_items) == 4
+    piece = next(dm.predict_pieces()) if dm.initialized.get("predict") else None
+    dm.setup("predict")
+    piece = next(dm.predict_pieces())
+    assert piece["spect"].shape[1] == 128
+
+
+def test_positive_weights(corpus):
+    dm = BeatDataModule(
+        corpus, batch_size=2, train_length=256, augmentations={},
+        test_dataset="gtzan",
+    )
+    dm.setup("fit")
+    w = dm.get_train_positive_weights(widen_target_mask=3)
+    assert w["beat"] >= 1 and w["downbeat"] > w["beat"]
+
+
+def test_no_val_and_fold(corpus, tmp_path_factory):
+    dm = BeatDataModule(
+        corpus, batch_size=2, augmentations=AUGS, test_dataset="gtzan",
+        no_val=True,
+    )
+    dm.setup("fit")
+    n_all = len(dm.train_items)
+    dm2 = BeatDataModule(
+        corpus, batch_size=2, augmentations=AUGS, test_dataset="gtzan",
+    )
+    dm2.setup("fit")
+    assert n_all == len(dm2.train_items) + len(dm2.val_items)
