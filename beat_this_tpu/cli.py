@@ -122,9 +122,18 @@ def run(
 
     from beat_this_tpu.inference import File2File
     from beat_this_tpu.io.audio import load_audio
+    from beat_this_tpu.profiler import Throughput, maybe_trace
     from beat_this_tpu.utils import save_beat_tsv
 
     file2file = File2File(model, None, float16, dbn)
+    throughput = Throughput()
+    _orig_signal2spect = file2file.signal2spect
+
+    def signal2spect(signal, sr):
+        throughput.add(len(signal) / (sr if sr else 22050))
+        return _orig_signal2spect(signal, sr)
+
+    file2file.signal2spect = signal2spect
     if activations:
 
         def process(audiofile, outfile):
@@ -148,7 +157,9 @@ def run(
         # single input file
         if output is None or output.is_dir():
             output = derive_output_path(inputs[0], suffix, append, output)
-        process(inputs[0], output)
+        with maybe_trace():
+            process(inputs[0], output)
+        print(throughput.summary(), file=sys.stderr)
     else:
         # collect tasks first for a progress bar
         tasks = []
@@ -165,23 +176,25 @@ def run(
                 tasks.append((item, derive_output_path(item, suffix, append, output)))
         if tqdm is not None:
             tasks = tqdm.tqdm(tasks)
-        for item, outfile in tasks:
-            if touch_first:
-                try:
-                    # atomic multi-process file claim
-                    outfile.touch(exist_ok=not skip_existing)
-                except FileExistsError:
+        with maybe_trace():
+            for item, outfile in tasks:
+                if touch_first:
+                    try:
+                        # atomic multi-process file claim
+                        outfile.touch(exist_ok=not skip_existing)
+                    except FileExistsError:
+                        continue
+                elif skip_existing and outfile.exists():
                     continue
-            elif skip_existing and outfile.exists():
-                continue
-            try:
-                process(item, outfile)
-            except Exception:
-                print(
-                    f'Could not process "{item}". Rerun with this file alone '
-                    "for details.",
-                    file=sys.stderr,
-                )
+                try:
+                    process(item, outfile)
+                except Exception:
+                    print(
+                        f'Could not process "{item}". Rerun with this file '
+                        "alone for details.",
+                        file=sys.stderr,
+                    )
+        print(throughput.summary(), file=sys.stderr)
 
 
 def main():

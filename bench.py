@@ -31,34 +31,39 @@ def main():
     chunk = 1500
     border = 6
     batch = 16  # chunks per device batch
+    scan_len = 20  # batches per executable: amortizes dispatch latency
     fps = 50.0
 
     @jax.jit
-    def forward(params, state, x):
-        out, _ = apply_beat_this(params, state, x, config, compute_dtype=jnp.bfloat16)
-        return out["beat"], out["downbeat"]
+    def forward_many(params, state, xs):
+        def step(_, x):
+            out, _ = apply_beat_this(
+                params, state, x, config, compute_dtype=jnp.bfloat16
+            )
+            return None, (out["beat"][:, 0], out["downbeat"][:, 0])
+
+        _, outs = jax.lax.scan(step, None, xs)
+        return outs
 
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(batch, chunk, 128), jnp.float32)
+    xs = jnp.asarray(rng.randn(scan_len, batch, chunk, 128), jnp.float32)
 
     # compile + warmup (device_get forces a full host round trip: through
     # the axon relay, block_until_ready does not actually block)
-    b, d = forward(params, state, x)
-    jax.device_get(b)
-    b, d = forward(params, state, x)
-    jax.device_get(b)
+    jax.device_get(forward_many(params, state, xs))
+    jax.device_get(forward_many(params, state, xs))
 
     # steady-state timing
-    iters = 10
+    iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        b, d = forward(params, state, x)
-    jax.device_get(b)
+        out = forward_many(params, state, xs)
+    jax.device_get(out)
     elapsed = time.perf_counter() - t0
 
     # each chunk contributes chunk - 2*border unique frames in the
     # overlapped inference scheme
-    audio_seconds = iters * batch * (chunk - 2 * border) / fps
+    audio_seconds = iters * scan_len * batch * (chunk - 2 * border) / fps
     value = audio_seconds / elapsed
     print(
         json.dumps(
