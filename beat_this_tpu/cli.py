@@ -83,6 +83,11 @@ def get_parser():
         "--activations", action="store_true",
         help="If given, saves the raw activations with a .npy suffix.",
     )
+    parser.add_argument(
+        "--batch-files", type=int, default=8,
+        help="When processing multiple files, batch this many through the "
+             "accelerator at once (default: %(default)s; 1 disables batching).",
+    )
     return parser
 
 
@@ -114,18 +119,21 @@ def run(
     gpu,
     float16,
     activations,
+    batch_files=8,
 ):
     if gpu is not None and gpu < 0:
         import os
 
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
-    from beat_this_tpu.inference import File2File
+    from beat_this_tpu.inference import BatchedFile2File
     from beat_this_tpu.io.audio import load_audio
     from beat_this_tpu.profiler import Throughput, maybe_trace
     from beat_this_tpu.utils import save_beat_tsv
 
-    file2file = File2File(model, None, float16, dbn)
+    file2file = BatchedFile2File(
+        model, None, float16, dbn, group_size=max(1, batch_files)
+    )
     throughput = Throughput()
     _orig_signal2spect = file2file.signal2spect
 
@@ -174,26 +182,46 @@ def run(
                             tasks.append((fn, output_path))
             else:
                 tasks.append((item, derive_output_path(item, suffix, append, output)))
-        if tqdm is not None:
-            tasks = tqdm.tqdm(tasks)
-        with maybe_trace():
-            for item, outfile in tasks:
-                if touch_first:
-                    try:
-                        # atomic multi-process file claim
-                        outfile.touch(exist_ok=not skip_existing)
-                    except FileExistsError:
-                        continue
-                elif skip_existing and outfile.exists():
-                    continue
+        # claim files up front (atomic multi-process sharding)
+        claimed = []
+        for item, outfile in tasks:
+            if touch_first:
                 try:
-                    process(item, outfile)
-                except Exception:
-                    print(
-                        f'Could not process "{item}". Rerun with this file '
-                        "alone for details.",
-                        file=sys.stderr,
-                    )
+                    outfile.parent.mkdir(parents=True, exist_ok=True)
+                    outfile.touch(exist_ok=not skip_existing)
+                except FileExistsError:
+                    continue
+            elif skip_existing and outfile.exists():
+                continue
+            claimed.append((item, outfile))
+
+        progress = tqdm.tqdm(total=len(claimed)) if tqdm is not None else None
+
+        def on_error(item, exc):
+            print(
+                f'Could not process "{item}". Rerun with this file alone '
+                "for details.",
+                file=sys.stderr,
+            )
+            if progress is not None:
+                progress.update(1)
+
+        def after_each(item, outfile, beat_logits, downbeat_logits):
+            throughput.add(len(beat_logits) / 50.0)
+            if activations:
+                np.save(
+                    Path(outfile).with_suffix(".npy"),
+                    np.vstack([beat_logits, downbeat_logits]),
+                )
+            if progress is not None:
+                progress.update(1)
+
+        with maybe_trace():
+            file2file.process_many(
+                claimed, on_error=on_error, after_each=after_each
+            )
+        if progress is not None:
+            progress.close()
         print(throughput.summary(), file=sys.stderr)
 
 

@@ -202,6 +202,66 @@ class ChunkedPredictor:
         return np.asarray(buf_b)[:t], np.asarray(buf_d)[:t]
 
 
+    # -- multi-piece batching ----------------------------------------------
+    def _forward_chunks_fn(self, n_chunks: int) -> Callable:
+        cs, bs = self.chunk_size, self.border_size
+        config, dtype = self.model.config, self.compute_dtype
+
+        def fn(params, state, chunks):
+            out, _ = apply_beat_this(
+                params, state, chunks, config, compute_dtype=dtype
+            )
+            return out["beat"][:, bs : cs - bs], out["downbeat"][:, bs : cs - bs]
+
+        return jax.jit(fn)
+
+    def predict_many(self, spects) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Predict several pieces at once: chunks from ALL pieces are packed
+        into one batched forward (bucketed), then stitched per piece on host.
+        Much higher device utilization than per-piece calls when processing
+        directories."""
+        spects = [np.asarray(s, dtype=np.float32) for s in spects]
+        plans = [plan_chunks(len(s), self.chunk_size, self.border_size)
+                 for s in spects]
+        chunk_list = []
+        for spect, starts in zip(spects, plans):
+            t = len(spect)
+            for start in starts:
+                chunk = np.zeros((self.chunk_size, spect.shape[1]), np.float32)
+                lo, hi = max(start, 0), min(start + self.chunk_size, t)
+                chunk[lo - start : hi - start] = spect[lo:hi]
+                chunk_list.append(chunk)
+        total = len(chunk_list)
+        n_b = _bucket(total)
+        if ("chunks", n_b) not in self._fns:
+            self._fns[("chunks", n_b)] = self._forward_chunks_fn(n_b)
+        batch = np.zeros((n_b, self.chunk_size, spects[0].shape[1]), np.float32)
+        batch[:total] = np.stack(chunk_list)
+        beat_all, down_all = self._fns[("chunks", n_b)](
+            self.model.params, self.model.state, jnp.asarray(batch)
+        )
+        beat_all = np.asarray(beat_all)
+        down_all = np.asarray(down_all)
+        results = []
+        offset = 0
+        for spect, starts in zip(spects, plans):
+            t = len(spect)
+            beat = np.full(t, -1000.0, np.float32)
+            down = np.full(t, -1000.0, np.float32)
+            n = len(starts)
+            piece_beat = beat_all[offset : offset + n]
+            piece_down = down_all[offset : offset + n]
+            # keep_first: reverse order so earlier chunks win
+            for i in range(n - 1, -1, -1):
+                lo = starts[i] + self.border_size
+                hi = min(lo + self.stride, t)
+                beat[lo:hi] = piece_beat[i][: hi - lo]
+                down[lo:hi] = piece_down[i][: hi - lo]
+            results.append((beat, down))
+            offset += n
+        return results
+
+
 def split_predict_aggregate(
     spect,
     chunk_size: int,
@@ -304,3 +364,80 @@ class File2File(File2Beats):
     def __call__(self, audio_path, output_path):
         beats, downbeats = super().__call__(audio_path)
         save_beat_tsv(beats, downbeats, output_path)
+
+
+class BatchedFile2File(File2File):
+    """Directory-scale inference: groups of files share ONE batched mel
+    computation and ONE batched chunk forward (via `predict_many`), instead of
+    the reference's one-file-at-a-time loop (beat_this/cli.py:177-191). On a
+    high-latency accelerator link this is the difference between per-file
+    round trips and a handful of dispatches per group."""
+
+    def __init__(self, checkpoint_path="final0", device=None, float16=False,
+                 dbn=False, group_size=8):
+        super().__init__(checkpoint_path, device, float16, dbn)
+        self.group_size = group_size
+
+    def _load_one(self, audio_path):
+        signal, sr = load_audio(audio_path)
+        signal = np.asarray(signal)
+        if signal.ndim == 2:
+            signal = signal.mean(1)
+        if sr != 22050:
+            signal = resample(signal, in_rate=sr, out_rate=22050)
+        return signal.astype(np.float32)
+
+    def _batched_spects(self, signals):
+        bucket = self._MEL_BUCKET_SAMPLES
+        max_len = max(len(s) for s in signals)
+        padded_len = max(1, math.ceil(max_len / bucket)) * bucket
+        batch = np.zeros((len(signals), padded_len), np.float32)
+        for i, s in enumerate(signals):
+            batch[i, : len(s)] = s
+        mel = np.asarray(log_mel_spectrogram(jnp.asarray(batch), LogMelConfig()))
+        return [mel[i, : num_frames(len(s))] for i, s in enumerate(signals)]
+
+    def process_many(self, tasks, on_error=None, after_each=None):
+        """tasks: iterable of (audio_path, output_path). Failures in loading
+        or processing call `on_error(path, exception)` and skip the file."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        tasks = list(tasks)
+        for i in range(0, len(tasks), self.group_size):
+            group = tasks[i : i + self.group_size]
+            signals, valid = [], []
+            with ThreadPoolExecutor() as pool:
+                loaded = list(pool.map(
+                    lambda t: _try_call(self._load_one, t[0]), group
+                ))
+            for (path, out), (signal, err) in zip(group, loaded):
+                if err is not None:
+                    if on_error:
+                        on_error(path, err)
+                    continue
+                signals.append(signal)
+                valid.append((path, out))
+            if not signals:
+                continue
+            spects = self._batched_spects(signals)
+            results = self.predictor.predict_many(spects)
+            for (path, out), spect, (beat_logits, downbeat_logits) in zip(
+                valid, spects, results
+            ):
+                try:
+                    beats, downbeats = self.frames2beats(
+                        beat_logits, downbeat_logits
+                    )
+                    save_beat_tsv(beats, downbeats, out)
+                    if after_each:
+                        after_each(path, out, beat_logits, downbeat_logits)
+                except Exception as exc:  # noqa: BLE001
+                    if on_error:
+                        on_error(path, exc)
+
+
+def _try_call(fn, *args):
+    try:
+        return fn(*args), None
+    except Exception as exc:  # noqa: BLE001
+        return None, exc

@@ -19,6 +19,7 @@ beat_this_tpu/io/torch_ckpt.py, which performs the layout conversion):
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -29,6 +30,22 @@ from beat_this_tpu.ops.rotary import apply_rope
 
 BN_EPS = 1e-5  # torch BatchNorm default
 BN_MOMENTUM = 0.1  # torch BatchNorm default
+
+# sequences at least this long route through the Pallas flash-attention
+# kernel on TPU (inference/eval only — the training path needs autodiff and
+# attention-probability dropout)
+FLASH_MIN_SEQ = 512
+
+
+@functools.lru_cache(maxsize=1)
+def _flash_enabled() -> bool:
+    import os
+
+    if os.environ.get("BEAT_THIS_NO_FLASH"):
+        return False
+    from beat_this_tpu.ops.flash_attention import flash_attention_available
+
+    return flash_attention_available()
 
 
 def rms_norm(x: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
@@ -111,7 +128,16 @@ def attention_block(
     rng_attn = rng_out = None
     if rng is not None:
         rng_attn, rng_out = jax.random.split(rng)
-    out = sdpa(q, k, v, dropout_rate=dropout_rate, rng=rng_attn)
+    if rng is None and n >= FLASH_MIN_SEQ and _flash_enabled():
+        from beat_this_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(
+            q.reshape(b * heads, n, head_dim),
+            k.reshape(b * heads, n, head_dim),
+            v.reshape(b * heads, n, head_dim),
+        ).reshape(b, heads, n, head_dim)
+    else:
+        out = sdpa(q, k, v, dropout_rate=dropout_rate, rng=rng_attn)
     # per-head sigmoid gates computed from the normed input
     gates = g @ params["gates_w"].astype(g.dtype) + params["gates_b"].astype(g.dtype)
     out = out * jax.nn.sigmoid(jnp.swapaxes(gates, 1, 2))[..., None]

@@ -145,27 +145,40 @@ def build_pattern_hmm(
 # ---------------------------------------------------------------------------
 
 
+STAY_CHOICE = 127  # backtracking marker for padded (no-op) frames
+
+_FRAME_BUCKET = 512  # sequence lengths pad to multiples of this
+
+
 @functools.partial(jax.jit, static_argnames=("num_states",))
-def _viterbi_scan(from_idx, log_probs, pointers, log_densities, num_states):
+def _viterbi_scan(from_idx, log_probs, pointers, log_densities, valid,
+                  num_states):
     """Run the forward max-product pass.
 
     Args:
         from_idx: (S, K) predecessor ids.
         log_probs: (S, K) log transition probabilities.
         pointers: (S,) observation pointer per state.
-        log_densities: (T, 3) per-frame log densities [no-beat, beat, downbeat].
+        log_densities: (T_pad, 3) per-frame log densities
+            [no-beat, beat, downbeat]; padded frames arbitrary.
+        valid: (T_pad,) bool; padded frames are a no-op (carry unchanged,
+            choice = STAY_CHOICE) so sequence lengths can be bucketed to a
+            few compiled graphs.
     Returns:
-        (final_scores (S,), choices (T, S) int8 argmax predecessor slot).
+        (final_scores (S,), choices (T_pad, S) int8 argmax predecessor slot).
     """
     init = jnp.full((num_states,), -jnp.log(float(num_states)), jnp.float32)
 
-    def step(v, dens):
+    def step(v, inp):
+        dens, is_valid = inp
         cand = v[from_idx] + log_probs  # (S, K)
-        best = jnp.argmax(cand, axis=1)
+        best = jnp.argmax(cand, axis=1).astype(jnp.int8)
         v_new = jnp.max(cand, axis=1) + dens[pointers]
-        return v_new, best.astype(jnp.int8)
+        v_out = jnp.where(is_valid, v_new, v)
+        best = jnp.where(is_valid, best, jnp.int8(STAY_CHOICE))
+        return v_out, best
 
-    final, choices = jax.lax.scan(step, init, log_densities)
+    final, choices = jax.lax.scan(step, init, (log_densities, valid))
     return final, choices
 
 
@@ -217,19 +230,26 @@ class DbnDecoder:
         return dens
 
     def _decode_pattern(self, hmm: PatternHmm, log_densities: np.ndarray):
+        t_true = len(log_densities)
+        t_pad = -(-t_true // _FRAME_BUCKET) * _FRAME_BUCKET
+        dens = np.zeros((t_pad, 3), dtype=np.float32)
+        dens[:t_true] = log_densities
+        valid = np.zeros(t_pad, dtype=bool)
+        valid[:t_true] = True
         final, choices = _viterbi_scan(
             jnp.asarray(hmm.from_idx),
             jnp.asarray(hmm.log_probs),
             jnp.asarray(hmm.pointers),
-            jnp.asarray(log_densities, dtype=jnp.float32),
+            jnp.asarray(dens),
+            jnp.asarray(valid),
             hmm.num_states,
         )
         final = np.asarray(final)
-        choices = np.asarray(choices)
+        choices = np.asarray(choices)[:t_true]
         state = int(np.argmax(final))
         log_prob = float(final[state])
-        path = np.empty(len(log_densities), dtype=np.int64)
-        for t in range(len(log_densities) - 1, -1, -1):
+        path = np.empty(t_true, dtype=np.int64)
+        for t in range(t_true - 1, -1, -1):
             path[t] = state
             state = int(hmm.from_idx[state, choices[t, state]])
         return path, log_prob

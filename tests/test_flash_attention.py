@@ -1,0 +1,33 @@
+"""Flash-attention kernel vs the plain XLA sdpa (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from beat_this_tpu.model.layers import sdpa
+from beat_this_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize("n", [96, 256, 300, 1500])
+def test_matches_sdpa(n):
+    rng = np.random.RandomState(n)
+    bh, d = 4, 32
+    q = jnp.asarray(rng.randn(bh, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(bh, n, d), jnp.float32)
+    v = jnp.asarray(rng.randn(bh, n, d), jnp.float32)
+    ref = sdpa(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_bfloat16(n=200):
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, n, 32), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(2, n, 32), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(2, n, 32), jnp.bfloat16)
+    ref = sdpa(q, k, v).astype(jnp.float32)
+    out = flash_attention(q, k, v, block_q=128, block_k=128,
+                          interpret=True).astype(jnp.float32)
+    diff = np.max(np.abs(np.asarray(out) - np.asarray(ref)))
+    assert diff < 0.05
