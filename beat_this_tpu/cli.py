@@ -122,9 +122,17 @@ def run(
     batch_files=8,
 ):
     if gpu is not None and gpu < 0:
+        # force CPU; jax may already be imported (sitecustomize), so update
+        # the live config rather than the environment
         import os
 
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     from beat_this_tpu.inference import BatchedFile2File
     from beat_this_tpu.io.audio import load_audio

@@ -216,6 +216,48 @@ def batch_norm_apply(
     return y.astype(x.dtype), new_stats
 
 
+def partial_roformer(
+    params: dict,
+    x: jnp.ndarray,
+    direction: str,
+    head_dim: int,
+    *,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Single-direction partial roformer on (batch, time, freq, channels):
+    attention + feed-forward across only the frequency axis ("f") or only the
+    time axis ("t"). Equivalent of the reference's PartialRoformer
+    (beat_this/model/beat_tracker.py:206-248), which the stock BeatThis model
+    does not use but exposes for ablations.
+
+    params: {"attn": attention params, "ff": feed-forward params}
+    """
+    from beat_this_tpu.ops.rotary import rope_tables
+
+    direction = direction[0].lower()
+    if direction not in "ft":
+        raise ValueError(f"direction must be F or T, got {direction}")
+    b, t, f, c = x.shape
+    heads = c // head_dim
+    rng_a = rng_f = None
+    if rng is not None:
+        rng_a, rng_f = jax.random.split(rng)
+    if direction == "f":
+        h = x.reshape(b * t, f, c)
+        rope = rope_tables(f, head_dim)
+    else:
+        h = x.transpose(0, 2, 1, 3).reshape(b * f, t, c)
+        rope = rope_tables(t, head_dim)
+    h = h + attention_block(
+        params["attn"], h, rope, heads, dropout_rate=dropout_rate, rng=rng_a
+    )
+    h = h + feed_forward(params["ff"], h, dropout_rate=dropout_rate, rng=rng_f)
+    if direction == "f":
+        return h.reshape(b, t, f, c)
+    return h.reshape(b, f, t, c).transpose(0, 2, 1, 3)
+
+
 def conv2d_tf(
     w: jnp.ndarray,
     x: jnp.ndarray,

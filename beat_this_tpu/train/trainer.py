@@ -108,6 +108,23 @@ class Trainer:
         self.metrics = Metrics(eval_trim_beats=eval_trim_beats)
         self.log_file = Path(log_file) if log_file else None
         self.history: list[dict] = []
+        self.wandb_run = None
+
+    def init_wandb(self, project="beat_this_tpu", name=None, resume_id=None):
+        """Optional Weights & Biases logging (counterpart of the reference's
+        WandbLogger, launch_scripts/train.py:21-30); no-op if wandb is not
+        installed."""
+        try:
+            import wandb
+        except ImportError:
+            print("wandb not installed; falling back to stdout/jsonl logging")
+            return None
+        kwargs = {"id": resume_id, "resume": "must"} if resume_id else {}
+        self.wandb_run = wandb.init(
+            project=project, name=name or self.name,
+            config={**self.hyper_parameters(), **self.dm.hparams()}, **kwargs,
+        )
+        return self.wandb_run
 
     # -- logging -----------------------------------------------------------
     def log(self, record: dict):
@@ -122,6 +139,8 @@ class Trainer:
             self.log_file.parent.mkdir(parents=True, exist_ok=True)
             with open(self.log_file, "a") as f:
                 f.write(json.dumps(record) + "\n")
+        if self.wandb_run is not None:
+            self.wandb_run.log(record)
 
     # -- checkpointing -----------------------------------------------------
     def hyper_parameters(self) -> dict:

@@ -107,6 +107,9 @@ def main(args):
         fps=args.fps,
         log_file=args.log_file,
     )
+    if args.logger == "wandb":
+        trainer.init_wandb(name=f"{args.name} {params_str}".strip(),
+                           resume_id=args.resume_id)
     ts = trainer.fit(resume_path=args.resume_checkpoint,
                      max_steps_override=args.max_steps)
     trainer.test(ts)
@@ -171,6 +174,10 @@ def get_parser():
     parser.add_argument("--fold", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--resume-checkpoint", type=str, default=None)
+    parser.add_argument("--resume-id", type=str, default=None,
+                        help="wandb run id to continue when resuming")
+    parser.add_argument("--logger", type=str, choices=["wandb", "none"],
+                        default="none")
     parser.add_argument("--log-file", type=str, default=None)
     return parser
 

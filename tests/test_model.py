@@ -81,6 +81,27 @@ def test_bfloat16_close_to_float32(small_cfg, small_model, x64):
     assert diff / scale < 0.15
 
 
+def test_partial_roformer_directions(small_model):
+    import jax
+
+    from beat_this_tpu.model.beat_this import _attention_init, _ff_init
+    from beat_this_tpu.model.layers import partial_roformer
+
+    import numpy as np_
+
+    gen = np_.random.default_rng(0)
+    params = {"attn": _attention_init(gen, 64, 2, 32), "ff": _ff_init(gen, 64, 4)}
+    x = jnp.asarray(np_.random.RandomState(0).randn(2, 20, 8, 64), jnp.float32)
+    for direction in ("f", "t", "F", "time"):
+        out = jax.jit(
+            lambda p, x: partial_roformer(p, x, direction, 32)
+        )(params, x)
+        assert out.shape == x.shape
+        assert not np_.allclose(np_.asarray(out), np_.asarray(x))
+    with pytest.raises(ValueError):
+        partial_roformer(params, x, "x", 32)
+
+
 def test_train_mode_updates_bn_and_is_stochastic(small_cfg, small_model, x64):
     params, state = small_model
     fn = jitted(small_cfg, train=True)
