@@ -141,12 +141,18 @@ class ChunkedPredictor:
         chunk_size: int = CHUNK_SIZE,
         border_size: int = BORDER_SIZE,
         compute_dtype=jnp.float32,
+        mesh=None,
     ):
+        """`mesh`: optional `jax.sharding.Mesh` with a "data" axis; the
+        multi-piece path (`predict_many`) then shards the global chunk batch
+        over it (single-program data-parallel inference across chips)."""
         self.model = model
         self.chunk_size = chunk_size
         self.border_size = border_size
         self.compute_dtype = compute_dtype
-        self._fns: dict[int, Callable] = {}
+        self.mesh = mesh
+        self._fns: dict = {}
+        self._placed_model = None
 
     @property
     def stride(self) -> int:
@@ -233,12 +239,28 @@ class ChunkedPredictor:
                 chunk_list.append(chunk)
         total = len(chunk_list)
         n_b = _bucket(total)
+        if self.mesh is not None:
+            from beat_this_tpu.parallel.mesh import pad_to_multiple
+
+            n_b = pad_to_multiple(n_b, self.mesh.devices.size)
         if ("chunks", n_b) not in self._fns:
             self._fns[("chunks", n_b)] = self._forward_chunks_fn(n_b)
         batch = np.zeros((n_b, self.chunk_size, spects[0].shape[1]), np.float32)
         batch[:total] = np.stack(chunk_list)
+        batch_dev = jnp.asarray(batch)
+        params, bn_state = self.model.params, self.model.state
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_dev = jax.device_put(batch, NamedSharding(self.mesh, P("data")))
+            if self._placed_model is None:
+                repl = NamedSharding(self.mesh, P())
+                self._placed_model = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, repl), (params, bn_state)
+                )
+            params, bn_state = self._placed_model
         beat_all, down_all = self._fns[("chunks", n_b)](
-            self.model.params, self.model.state, jnp.asarray(batch)
+            params, bn_state, batch_dev
         )
         beat_all = np.asarray(beat_all)
         down_all = np.asarray(down_all)
