@@ -256,6 +256,29 @@ def apply_beat_this(
     def next_rng(i):
         return None if rng is None or not train else jax.random.fold_in(rng, i)
 
+    if train:
+        # rematerialize each residual branch in the backward pass: the
+        # 1500-frame attention probability matrices (O(N^2) per head) would
+        # otherwise be saved as residuals and overflow HBM at batch 8
+        def attention_fn(p, x, rope, heads, *, dropout_rate, rng):
+            wrapped = jax.checkpoint(
+                lambda p_, x_, rope_, rng_: attention_block(
+                    p_, x_, rope_, heads, dropout_rate=dropout_rate, rng=rng_
+                )
+            )
+            return wrapped(p, x, rope, rng)
+
+        def ff_fn(p, x, *, dropout_rate, rng):
+            wrapped = jax.checkpoint(
+                lambda p_, x_, rng_: feed_forward(
+                    p_, x_, dropout_rate=dropout_rate, rng=rng_
+                )
+            )
+            return wrapped(p, x, rng)
+    else:
+        attention_fn = attention_block
+        ff_fn = feed_forward
+
     # --- stem ---
     h, new_state["stem"]["bn1d"] = batch_norm_apply(
         _merged_bn(params["stem"]["bn1d"], state["stem"]["bn1d"]),
@@ -281,21 +304,21 @@ def apply_beat_this(
             rope_freq = rope_tables(n_freq, c.head_dim)
             # frequency-axis roformer: (B, T, F, C) -> (B*T, F, C), no transpose
             hf = h.reshape(b * t, n_freq, dim)
-            hf = hf + attention_block(
+            hf = hf + attention_fn(
                 p["attnF"], hf, rope_freq, heads,
                 dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1),
             )
-            hf = hf + feed_forward(
+            hf = hf + ff_fn(
                 p["ffF"], hf, dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1)
             )
             # time-axis roformer: -> (B*F, T, C)
             ht = hf.reshape(b, t, n_freq, dim).transpose(0, 2, 1, 3)
             ht = ht.reshape(b * n_freq, t, dim)
-            ht = ht + attention_block(
+            ht = ht + attention_fn(
                 p["attnT"], ht, rope_time, heads,
                 dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1),
             )
-            ht = ht + feed_forward(
+            ht = ht + ff_fn(
                 p["ffT"], ht, dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1)
             )
             h = ht.reshape(b, n_freq, t, dim).transpose(0, 2, 1, 3)
@@ -313,11 +336,11 @@ def apply_beat_this(
 
     # --- main transformer ---
     for layer in params["transformer"]["layers"]:
-        h = h + attention_block(
+        h = h + attention_fn(
             layer["attn"], h, rope_time, c.transformer_dim // c.head_dim,
             dropout_rate=drop_t, rng=next_rng(rng_i := rng_i + 1),
         )
-        h = h + feed_forward(
+        h = h + ff_fn(
             layer["ff"], h, dropout_rate=drop_t, rng=next_rng(rng_i := rng_i + 1)
         )
     h = rms_norm(h, params["transformer"]["norm_gamma"])
