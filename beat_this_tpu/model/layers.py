@@ -32,8 +32,8 @@ BN_EPS = 1e-5  # torch BatchNorm default
 BN_MOMENTUM = 0.1  # torch BatchNorm default
 
 # sequences at least this long route through the Pallas flash-attention
-# kernel on TPU (inference/eval only — the training path needs autodiff and
-# attention-probability dropout)
+# kernel on TPU (forward and custom-VJP backward); attention-probability
+# dropout > 0 falls back to the XLA path, which supports it
 FLASH_MIN_SEQ = 512
 
 
@@ -128,13 +128,23 @@ def attention_block(
     rng_attn = rng_out = None
     if rng is not None:
         rng_attn, rng_out = jax.random.split(rng)
-    if rng is None and n >= FLASH_MIN_SEQ and _flash_enabled():
+    # flash path (forward + custom-VJP backward); attention-probability
+    # dropout is regenerated in-kernel from a seed derived from the rng
+    if n >= FLASH_MIN_SEQ and _flash_enabled():
         from beat_this_tpu.ops.flash_attention import flash_attention
 
+        rate = dropout_rate if rng_attn is not None else 0.0
+        seed = (
+            jax.random.randint(rng_attn, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+            if rate > 0.0
+            else None
+        )
         out = flash_attention(
             q.reshape(b * heads, n, head_dim),
             k.reshape(b * heads, n, head_dim),
             v.reshape(b * heads, n, head_dim),
+            dropout_rate=rate,
+            seed=seed,
         ).reshape(b, heads, n, head_dim)
     else:
         out = sdpa(q, k, v, dropout_rate=dropout_rate, rng=rng_attn)

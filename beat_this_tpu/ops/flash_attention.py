@@ -38,7 +38,49 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, block_k, scale):
+def _dropout_mask(seed_ref, bh, qb, kb, shape, rate):
+    """Deterministic per-(head, q-block, k-block) keep mask in [0,1/keep].
+
+    The same (seed, indices) regenerate the same mask in the backward
+    kernels, so no mask tensor is ever stored.
+    """
+    salt = ((seed_ref[0] + bh) * 1000003 + qb) * 1009 + kb
+    pltpu.prng_seed(salt)
+    bits = pltpu.prng_random_bits(shape)
+    threshold = np.uint32(int(rate * 4294967296.0))
+    keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
+    return keep.astype(jnp.float32) / (1.0 - rate)
+
+
+def _masked_scores(q, k_ref, kb, block_k, kv_len):
+    """q (block_q, d) float32 (pre-scaled) x k block -> masked (bq, bk) f32."""
+    block_q = q.shape[0]
+    k = k_ref[0, kb * block_k : (kb + 1) * block_k, :]
+    s = jax.lax.dot_general(
+        q, k.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+    return jnp.where(col < kv_len, s, -jnp.inf)
+
+
+def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, kv_len,
+                  block_k, scale, rate):
+    _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, o_ref, None,
+                    kv_len=kv_len, block_k=block_k, scale=scale, rate=rate)
+
+
+def _flash_kernel_lse(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                      kv_len, block_k, scale, rate):
+    _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                    kv_len=kv_len, block_k=block_k, scale=scale, rate=rate)
+
+
+def _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len,
+                    block_k, scale, rate):
     q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
     block_q, d = q.shape
     kv_pad = k_ref.shape[1]
@@ -49,22 +91,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, block_k, scale):
     acc = jnp.zeros((block_q, d), jnp.float32)
 
     for kb in range(num_kb):
-        k = k_ref[0, kb * block_k : (kb + 1) * block_k, :]
         v = v_ref[0, kb * block_k : (kb + 1) * block_k, :]
-        s = jax.lax.dot_general(
-            q, k.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (block_q, block_k)
-        # mask padded keys
-        col = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        s = jnp.where(col < kv_len, s, -jnp.inf)
+        s = _masked_scores(q, k_ref, kb, block_k, kv_len)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
+        # the softmax normalizer uses undropped probabilities (dropout is
+        # applied after the softmax, torch semantics)
         l = l * corr + jnp.sum(p, axis=1, keepdims=True)
+        if rate > 0.0:
+            p = p * _dropout_mask(
+                seed_ref, pl.program_id(0), pl.program_id(1), kb, p.shape, rate
+            )
         acc = acc * corr + jax.lax.dot_general(
             p.astype(v.dtype), v,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -73,10 +111,233 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, block_k, scale):
         m = m_new
 
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    if lse_ref is not None:
+        # lse layout (bh, n_pad, 1): trailing singleton keeps the block
+        # shape legal for the TPU tiling rules
+        lse_ref[0, :, 0] = (m + jnp.log(l))[:, 0]
+
+
+def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                     delta_ref, dq_ref, *, kv_len, block_k, scale, rate):
+    q = q_ref[0].astype(jnp.float32) * scale
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :, :]  # (block_q, 1)
+    delta = delta_ref[0, :, :]
+    block_q, d = q.shape
+    num_kb = k_ref.shape[1] // block_k
+    dq = jnp.zeros((block_q, d), jnp.float32)
+    for kb in range(num_kb):
+        k = k_ref[0, kb * block_k : (kb + 1) * block_k, :].astype(jnp.float32)
+        v = v_ref[0, kb * block_k : (kb + 1) * block_k, :].astype(jnp.float32)
+        s = _masked_scores(q, k_ref, kb, block_k, kv_len)
+        p = jnp.exp(s - lse)  # masked cols -> exp(-inf) = 0
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            dp = dp * _dropout_mask(
+                seed_ref, pl.program_id(0), pl.program_id(1), kb, dp.shape, rate
+            )
+        ds = p * (dp - delta)
+        dq = dq + jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                      delta_ref, dk_ref, dv_ref, *, q_len, block_q, scale,
+                      rate):
+    k = k_ref[0].astype(jnp.float32)  # (block_k, d)
+    v = v_ref[0].astype(jnp.float32)
+    block_k, d = k.shape
+    num_qb = q_ref.shape[1] // block_q
+    dk = jnp.zeros((block_k, d), jnp.float32)
+    dv = jnp.zeros((block_k, d), jnp.float32)
+    for qb in range(num_qb):
+        q = q_ref[0, qb * block_q : (qb + 1) * block_q, :].astype(jnp.float32)
+        do = do_ref[0, qb * block_q : (qb + 1) * block_q, :].astype(jnp.float32)
+        lse = lse_ref[0, qb * block_q : (qb + 1) * block_q, :]
+        delta = delta_ref[0, qb * block_q : (qb + 1) * block_q, :]
+        s = jax.lax.dot_general(
+            q * scale, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, block_k)
+        # padded q rows have do == 0 and delta == 0, so they contribute 0;
+        # padded k rows produce dk/dv that are sliced away by the caller
+        p = jnp.exp(s - lse)
+        if rate > 0.0:
+            mask = _dropout_mask(
+                seed_ref, pl.program_id(0), qb, pl.program_id(1),
+                (p.shape[0], p.shape[1]), rate,
+            )
+            p_dropped = p * mask
+        else:
+            p_dropped = p
+        dv = dv + jax.lax.dot_general(
+            p_dropped, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            dp = dp * mask
+        ds = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _specs(interpret):
+    kwargs = {}
+    if _MEMORY_SPACE is not None and not interpret:
+        kwargs["memory_space"] = _MEMORY_SPACE
+    return kwargs
+
+
+def _pad_seq(x, n_pad):
+    return jnp.pad(x, ((0, 0), (0, n_pad - x.shape[1]), (0, 0)))
+
+
+def _flash_forward(q, k, v, seed, block_q, block_k, interpret, rate,
+                   need_lse):
+    bh, n, d = q.shape
+    scale = d**-0.5
+    n_q_pad = -(-n // block_q) * block_q
+    block_k = min(block_k, -(-n // 128) * 128)
+    n_k_pad = -(-n // block_k) * block_k
+    kwargs = _specs(interpret)
+    seed_spec = _seed_spec(interpret)
+    in_specs = [
+        seed_spec,
+        pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **kwargs),
+        pl.BlockSpec((1, n_k_pad, d), lambda b, i: (b, 0, 0), **kwargs),
+        pl.BlockSpec((1, n_k_pad, d), lambda b, i: (b, 0, 0), **kwargs),
+    ]
+    args = (seed, _pad_seq(q, n_q_pad), _pad_seq(k, n_k_pad),
+            _pad_seq(v, n_k_pad))
+    grid = (bh, n_q_pad // block_q)
+    common = dict(kv_len=n, block_k=block_k, scale=scale, rate=rate)
+    if not need_lse:
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel, **common),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                                   **kwargs),
+            out_shape=jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
+            interpret=interpret,
+        )(*args)
+        return out[:, :n, :], None
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_kernel_lse, **common),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **kwargs),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0), **kwargs),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_q_pad, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:, :n, :], lse
+
+
+def _seed_spec(interpret):
+    if pltpu is not None and not interpret:
+        return pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.BlockSpec((1,), lambda b, i: (0,))
+
+
+def _flash_backward(q, k, v, o, lse_pad, do, seed, block_q, block_k,
+                    interpret, rate):
+    bh, n, d = q.shape
+    scale = d**-0.5
+    n_q_pad = -(-n // block_q) * block_q
+    block_k = min(block_k, -(-n // 128) * 128)
+    n_k_pad = -(-n // block_k) * block_k
+    kwargs = _specs(interpret)
+    seed_spec = _seed_spec(interpret)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # (bh, n)
+    qp, kp, vp = _pad_seq(q, n_q_pad), _pad_seq(k, n_k_pad), _pad_seq(v, n_k_pad)
+    dop = _pad_seq(do.astype(q.dtype), n_q_pad)
+    deltap = jnp.pad(delta, ((0, 0), (0, n_q_pad - n)))[..., None]
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **kwargs)
+    q_full = pl.BlockSpec((1, n_q_pad, d), lambda b, i: (b, 0, 0), **kwargs)
+    k_full = pl.BlockSpec((1, n_k_pad, d), lambda b, i: (b, 0, 0), **kwargs)
+    k_spec = pl.BlockSpec((1, block_k, d), lambda b, i: (b, i, 0), **kwargs)
+    row_spec = pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0), **kwargs)
+    row_full = pl.BlockSpec((1, n_q_pad, 1), lambda b, i: (b, 0, 0), **kwargs)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_dq_kernel, kv_len=n, block_k=block_k, scale=scale, rate=rate
+        ),
+        grid=(bh, n_q_pad // block_q),
+        in_specs=[seed_spec, q_spec, k_full, k_full, q_spec, row_spec, row_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
+        interpret=interpret,
+    )(seed, qp, kp, vp, dop, lse_pad, deltap)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_dkv_kernel, q_len=n, block_q=block_q, scale=scale, rate=rate
+        ),
+        grid=(bh, n_k_pad // block_k),
+        in_specs=[seed_spec, q_full, k_spec, k_spec, q_full, row_full, row_full],
+        out_specs=(k_spec, k_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n_k_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_k_pad, d), q.dtype),
+        ),
+        interpret=interpret,
+    )(seed, qp, kp, vp, dop, lse_pad, deltap)
+    return dq[:, :n, :], dk[:, :n, :], dv[:, :n, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention(q, k, v, seed, block_q, block_k, interpret, rate):
+    out, _ = _flash_forward(
+        q, k, v, seed, block_q, block_k, interpret, rate, need_lse=False
+    )
+    return out
+
+
+def _flash_attention_fwd(q, k, v, seed, block_q, block_k, interpret, rate):
+    out, lse = _flash_forward(
+        q, k, v, seed, block_q, block_k, interpret, rate, need_lse=True
+    )
+    return out, (q, k, v, seed, out, lse)
+
+
+def _flash_attention_bwd(block_q, block_k, interpret, rate, residuals, do):
+    q, k, v, seed, o, lse = residuals
+    dq, dk, dv = _flash_backward(
+        q, k, v, o, lse, do, seed, block_q, block_k, interpret, rate
+    )
+    return dq, dk, dv, None
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("block_q", "block_k", "interpret", "dropout_rate"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -85,40 +346,25 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
+    dropout_rate: float = 0.0,
+    seed=None,
 ) -> jnp.ndarray:
     """Softmax attention over (bh, seq, head_dim) with 1/sqrt(d) scaling.
 
-    Equivalent to `softmax(q k^T / sqrt(d)) v` per leading batch entry.
+    Equivalent to `softmax(q k^T / sqrt(d)) v` per leading batch entry, with
+    optional dropout on the (post-softmax) attention probabilities seeded by
+    `seed` (an int32 scalar/array; required when dropout_rate > 0).
+    Differentiable: the backward pass runs flash-style Pallas kernels too
+    (O(N) memory) and regenerates the dropout mask from the seed, so the
+    training path never materializes the probability matrix either.
     """
-    bh, n, d = q.shape
-    scale = d**-0.5
-    n_q_pad = -(-n // block_q) * block_q
-    block_k = min(block_k, -(-n // 128) * 128)
-    n_k_pad = -(-n // block_k) * block_k
-
-    qp = jnp.pad(q, ((0, 0), (0, n_q_pad - n), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, n_k_pad - n), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, n_k_pad - n), (0, 0)))
-
-    kwargs = {}
-    if _MEMORY_SPACE is not None and not interpret:
-        kwargs["memory_space"] = _MEMORY_SPACE
-
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, kv_len=n, block_k=block_k, scale=scale
-        ),
-        grid=(bh, n_q_pad // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **kwargs),
-            pl.BlockSpec((1, n_k_pad, d), lambda b, i: (b, 0, 0), **kwargs),
-            pl.BlockSpec((1, n_k_pad, d), lambda b, i: (b, 0, 0), **kwargs),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **kwargs),
-        out_shape=jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
-        interpret=interpret,
-    )(qp, kp, vp)
-    return out[:, :n, :]
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    return _flash_attention(
+        q, k, v, seed, block_q, block_k, interpret, float(dropout_rate)
+    )
 
 
 def flash_attention_available() -> bool:

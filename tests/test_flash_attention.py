@@ -21,6 +21,34 @@ def test_matches_sdpa(n):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_gradients_match_sdpa(n=300):
+    import jax
+
+    rng = np.random.RandomState(7)
+    bh, d = 2, 32
+    q = jnp.asarray(rng.randn(bh, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(bh, n, d), jnp.float32)
+    v = jnp.asarray(rng.randn(bh, n, d), jnp.float32)
+    cot = jnp.asarray(rng.randn(bh, n, d), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+            * cot
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa(q, k, v) * cot)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
 def test_bfloat16(n=200):
     rng = np.random.RandomState(0)
     q = jnp.asarray(rng.randn(2, n, 32), jnp.bfloat16)
