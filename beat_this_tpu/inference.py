@@ -333,6 +333,23 @@ class Spect2Frames:
         return self.spect2frames(spect)
 
 
+def _pad_wave_for_mel(signal: np.ndarray, padded_len: int) -> np.ndarray:
+    """Zero-pad a waveform to `padded_len`, but fill the first n_fft//2
+    samples beyond the true end with the reflection of the signal tail.
+
+    The mel frontend is computed on bucket-length signals for compile reuse;
+    frames near the true end must still see the same reflect padding that
+    center-mode STFT applies at an exact-length signal's boundary
+    (torchaudio semantics, reference beat_this/preprocessing.py:43-53)."""
+    n = len(signal)
+    out = np.zeros(padded_len, np.float32)
+    out[:n] = signal
+    reflect = min(512, n - 1, padded_len - n)
+    if reflect > 0:
+        out[n : n + reflect] = signal[n - 2 : n - 2 - reflect : -1]
+    return out
+
+
 class Audio2Frames(Spect2Frames):
     """Framewise logits from an audio waveform at any sample rate."""
 
@@ -350,8 +367,9 @@ class Audio2Frames(Spect2Frames):
         frames = num_frames(n)
         # pad to a bucket so mel reuses a few compiled graphs
         bucket = self._MEL_BUCKET_SAMPLES
-        padded = np.zeros(max(1, math.ceil(n / bucket)) * bucket, np.float32)
-        padded[:n] = signal.astype(np.float32)
+        padded = _pad_wave_for_mel(
+            signal.astype(np.float32), max(1, math.ceil(n / bucket)) * bucket
+        )
         spect = log_mel_spectrogram(jnp.asarray(padded), LogMelConfig())
         return np.asarray(spect)[:frames]
 
@@ -413,9 +431,9 @@ class BatchedFile2File(File2File):
         bucket = self._MEL_BUCKET_SAMPLES
         max_len = max(len(s) for s in signals)
         padded_len = max(1, math.ceil(max_len / bucket)) * bucket
-        batch = np.zeros((len(signals), padded_len), np.float32)
-        for i, s in enumerate(signals):
-            batch[i, : len(s)] = s
+        batch = np.stack(
+            [_pad_wave_for_mel(s, padded_len) for s in signals]
+        )
         mel = np.asarray(log_mel_spectrogram(jnp.asarray(batch), LogMelConfig()))
         return [mel[i, : num_frames(len(s))] for i, s in enumerate(signals)]
 

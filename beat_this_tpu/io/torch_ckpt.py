@@ -19,9 +19,8 @@ beat_this/model/beat_tracker.py:194-203).
 
 from __future__ import annotations
 
-import pickle
 import pathlib
-import struct
+import pickle
 import zipfile
 from typing import Any
 

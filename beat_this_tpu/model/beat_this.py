@@ -21,7 +21,7 @@ with fp32 SumHead escape hatch).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional
 
 import jax
@@ -103,15 +103,6 @@ def _conv_init(rng, k_t, k_f, c_in, c_out):
         "w": jnp.asarray(
             std * rng.standard_normal((k_t, k_f, c_in, c_out)), jnp.float32
         )
-    }
-
-
-def _bn_init(dim):
-    return {
-        "gamma": jnp.ones((dim,), jnp.float32),
-        "beta": jnp.zeros((dim,), jnp.float32),
-        "mean": jnp.zeros((dim,), jnp.float32),
-        "var": jnp.ones((dim,), jnp.float32),
     }
 
 

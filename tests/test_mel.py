@@ -95,6 +95,21 @@ def test_frame_count_matches_reference_convention():
         assert log_mel_spectrogram(x).shape == (n // 441 + 1, 128)
 
 
+def test_bucketed_padding_matches_exact_length():
+    """The inference path computes mel on bucket-padded signals; frames of
+    the true signal must match an exact-length computation (reflect padding
+    at the true end, not zeros)."""
+    from beat_this_tpu.inference import _pad_wave_for_mel
+    from beat_this_tpu.ops.mel import num_frames as nf
+
+    rng = np.random.RandomState(5)
+    x = (rng.randn(22050 + 123) * 0.3).astype(np.float32)
+    exact = np.asarray(log_mel_spectrogram(x))
+    padded = _pad_wave_for_mel(x, 441 * 64)
+    bucketed = np.asarray(log_mel_spectrogram(padded))[: nf(len(x))]
+    np.testing.assert_allclose(bucketed, exact, atol=1e-5)
+
+
 def test_config_is_reference_default():
     c = LogMelConfig()
     assert (c.sample_rate, c.n_fft, c.hop_length) == (22050, 1024, 441)
