@@ -30,11 +30,13 @@ class MemmappedNpz(Mapping):
     preprocessing pipeline writes.
     """
 
-    def __init__(self, path, cache: bool = True):
+    def __init__(self, path, cache: bool = True, preload: bool = False):
         self.path = path
         self.mmap = np.memmap(path, mode="r")
         self._table: dict[str, tuple[int, np.dtype, tuple, bool]] = {}
-        self._cache: dict[str, np.ndarray] | None = {} if cache else None
+        self._cache: dict[str, np.ndarray] | None = (
+            {} if (cache or preload) else None
+        )
         buf = self.mmap
         with ZipFile(path, "r") as zf:
             for info in zf.infolist():
@@ -49,6 +51,9 @@ class MemmappedNpz(Mapping):
                 offset, dtype, shape, fortran = self._parse_npy_header(data_start)
                 self._table[info.filename[:-4]] = (offset, dtype, shape, fortran)
         self.files = list(self._table)
+        if preload:
+            for name in self.files:
+                self[name]
 
     def _parse_npy_header(self, start: int):
         buf = self.mmap

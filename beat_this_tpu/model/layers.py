@@ -146,6 +146,21 @@ def attention_block(
             dropout_rate=rate,
             seed=seed,
         ).reshape(b, heads, n, head_dim)
+    elif (
+        rng is None
+        and n <= 32
+        and 128 % n == 0
+        and _flash_enabled()
+    ):
+        # frequency-axis attention: thousands of tiny independent problems;
+        # the packed block-diagonal kernel keeps probabilities in VMEM
+        from beat_this_tpu.ops.small_attention import small_attention
+
+        out = small_attention(
+            q.reshape(b * heads, n, head_dim),
+            k.reshape(b * heads, n, head_dim),
+            v.reshape(b * heads, n, head_dim),
+        ).reshape(b, heads, n, head_dim)
     else:
         out = sdpa(q, k, v, dropout_rate=dropout_rate, rng=rng_attn)
     # per-head sigmoid gates computed from the normed input
