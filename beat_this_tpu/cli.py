@@ -136,8 +136,14 @@ def run(
 
     from beat_this_tpu.inference import BatchedFile2File
     from beat_this_tpu.io.audio import load_audio
-    from beat_this_tpu.profiler import Throughput, maybe_trace
+    from beat_this_tpu.profiler import (
+        Throughput,
+        maybe_enable_compilation_cache,
+        maybe_trace,
+    )
     from beat_this_tpu.utils import save_beat_tsv
+
+    maybe_enable_compilation_cache()
 
     file2file = BatchedFile2File(
         model, None, float16, dbn, group_size=max(1, batch_files)

@@ -182,6 +182,34 @@ def _viterbi_scan(from_idx, log_probs, pointers, log_densities, valid,
     return final, choices
 
 
+@functools.partial(jax.jit, static_argnames=("num_states",))
+def _viterbi_scan_batched(from_idx, log_probs, pointers, log_densities, valid,
+                          num_states):
+    """Batched forward pass over P pieces at once.
+
+    Args:
+        log_densities: (P, T_pad, 3); valid: (P, T_pad) bool.
+    Returns:
+        (final_scores (P, S), choices (T_pad, P, S) int8).
+    """
+    p = log_densities.shape[0]
+    init = jnp.full((p, num_states), -jnp.log(float(num_states)), jnp.float32)
+
+    def step(v, inp):
+        dens, is_valid = inp  # (P, 3), (P,)
+        cand = v[:, from_idx] + log_probs[None]  # (P, S, K)
+        best = jnp.argmax(cand, axis=2).astype(jnp.int8)
+        v_new = jnp.max(cand, axis=2) + dens[:, pointers]
+        v_out = jnp.where(is_valid[:, None], v_new, v)
+        best = jnp.where(is_valid[:, None], best, jnp.int8(STAY_CHOICE))
+        return v_out, best
+
+    final, choices = jax.lax.scan(
+        step, init, (jnp.swapaxes(log_densities, 0, 1), valid.T)
+    )
+    return final, choices
+
+
 def threshold_activations(activations: np.ndarray, threshold: float):
     """Trim leading/trailing frames where all activations are below the
     threshold; returns (trimmed, first_index) — madmom semantics."""
@@ -254,6 +282,63 @@ class DbnDecoder:
             state = int(hmm.from_idx[state, choices[t, state]])
         return path, log_prob
 
+    def decode_many(self, activations_list) -> list[np.ndarray]:
+        """Decode several pieces with batched Viterbi scans (pieces grouped
+        by padded length; one device call per group and bar pattern)."""
+        items = []
+        for activations in activations_list:
+            activations = np.asarray(activations, dtype=np.float64)
+            first = 0
+            if self.threshold:
+                activations, first = threshold_activations(
+                    activations, self.threshold
+                )
+            items.append((activations, first))
+        outputs: list = [None] * len(items)
+        # group decodable items by frame bucket
+        groups: dict[int, list[int]] = {}
+        for i, (act, _) in enumerate(items):
+            if not act.any():
+                outputs[i] = np.empty((0, 2))
+                continue
+            t_pad = -(-len(act) // _FRAME_BUCKET) * _FRAME_BUCKET
+            groups.setdefault(t_pad, []).append(i)
+        for t_pad, idxs in groups.items():
+            dens = np.zeros((len(idxs), t_pad, 3), dtype=np.float32)
+            valid = np.zeros((len(idxs), t_pad), dtype=bool)
+            for row, i in enumerate(idxs):
+                act = items[i][0]
+                dens[row, : len(act)] = self._log_densities(act)
+                valid[row, : len(act)] = True
+            per_pattern = []
+            for hmm in self.patterns:
+                final, choices = _viterbi_scan_batched(
+                    jnp.asarray(hmm.from_idx),
+                    jnp.asarray(hmm.log_probs),
+                    jnp.asarray(hmm.pointers),
+                    jnp.asarray(dens),
+                    jnp.asarray(valid),
+                    hmm.num_states,
+                )
+                per_pattern.append((np.asarray(final), np.asarray(choices)))
+            for row, i in enumerate(idxs):
+                act, first = items[i]
+                t_true = len(act)
+                best_pattern, best_path, best_logp = None, None, -np.inf
+                for hmm, (final, choices) in zip(self.patterns, per_pattern):
+                    state = int(np.argmax(final[row]))
+                    logp = float(final[row, state])
+                    if logp > best_logp:
+                        path = np.empty(t_true, dtype=np.int64)
+                        for t in range(t_true - 1, -1, -1):
+                            path[t] = state
+                            state = int(hmm.from_idx[state, choices[t, row, state]])
+                        best_pattern, best_path, best_logp = hmm, path, logp
+                outputs[i] = self._path_to_beats(
+                    best_pattern, best_path, act, first
+                )
+        return outputs
+
     def __call__(self, activations: np.ndarray) -> np.ndarray:
         """activations: (T, 2) [beat-only, downbeat] probabilities."""
         activations = np.asarray(activations, dtype=np.float64)
@@ -267,6 +352,10 @@ class DbnDecoder:
         best = int(np.argmax([r[1] for r in results]))
         path, _ = results[best]
         hmm = self.patterns[best]
+        return self._path_to_beats(hmm, path, activations, first)
+
+    def _path_to_beats(self, hmm: PatternHmm, path: np.ndarray,
+                       activations: np.ndarray, first: int) -> np.ndarray:
         positions = hmm.state_positions[path]
         beat_numbers = positions.astype(int) + 1
         if self.correct:

@@ -130,22 +130,26 @@ class Postprocessor:
         epsilon = 1e-5
         beat_prob = beat_prob * (1 - epsilon) + epsilon / 2
         downbeat_prob = downbeat_prob * (1 - epsilon) + epsilon / 2
-        results = [
-            self._postp_dbn_item(b, d, m)
+        combined = [
+            self._combined_activations(b, d, m)
             for b, d, m in zip(beat_prob, downbeat_prob, padding_mask)
         ]
-        out_beat, out_downbeat = zip(*results)
+        # all pieces decode through batched Viterbi scans (grouped by length)
+        decoded = self.dbn.decode_many(combined)
+        out_beat, out_downbeat = [], []
+        for dbn_out in decoded:
+            out_beat.append(dbn_out[:, 0])
+            out_downbeat.append(dbn_out[dbn_out[:, 1] == 1][:, 0])
         return tuple(out_beat), tuple(out_downbeat)
 
-    def _postp_dbn_item(self, beat_prob, downbeat_prob, mask):
+    @staticmethod
+    def _combined_activations(beat_prob, downbeat_prob, mask):
+        """Böck-style combined activation matrix (reference:
+        beat_this/model/postprocessor.py:153-168)."""
         beat_prob = beat_prob[mask]
         downbeat_prob = downbeat_prob[mask]
         epsilon = 1e-5
-        combined = np.stack(
+        return np.stack(
             [np.maximum(beat_prob - downbeat_prob, epsilon / 2), downbeat_prob],
             axis=1,
         )
-        dbn_out = self.dbn(combined)
-        postp_beat = dbn_out[:, 0]
-        postp_downbeat = dbn_out[dbn_out[:, 1] == 1][:, 0]
-        return postp_beat, postp_downbeat

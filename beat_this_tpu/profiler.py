@@ -30,6 +30,19 @@ def maybe_trace(trace_dir: str | None = None):
         jax.profiler.stop_trace()
 
 
+def maybe_enable_compilation_cache():
+    """Enable JAX's persistent compilation cache when
+    BEAT_THIS_COMPILE_CACHE points at a directory — repeat CLI invocations
+    then skip recompilation of the bucketed graphs entirely."""
+    cache_dir = os.environ.get("BEAT_THIS_COMPILE_CACHE")
+    if not cache_dir:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 class Throughput:
     """Accumulates processed audio seconds against wall-clock time."""
 

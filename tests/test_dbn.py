@@ -91,6 +91,41 @@ def test_decodes_90bpm_3_4():
     assert set(numbers) == {1, 2, 3}  # picks the 3/4 pattern
 
 
+def test_decode_many_matches_single():
+    decoder = DbnDecoder()
+    pieces = [
+        make_click_activations(120, 4, 12),
+        make_click_activations(90, 3, 20),
+        np.full((150, 2), 0.01),  # silent -> empty
+        make_click_activations(140, 4, 12),
+    ]
+    batched = decoder.decode_many(pieces)
+    for act, out in zip(pieces, batched):
+        single = decoder(act)
+        np.testing.assert_allclose(out, single)
+
+
+def test_postprocessor_dbn_batched():
+    from beat_this_tpu.postprocessing import Postprocessor
+
+    pp = Postprocessor("dbn", fps=50)
+    t = 600
+    beat = np.full((2, t), -5.0, np.float32)
+    downbeat = np.full((2, t), -5.0, np.float32)
+    for i, period in enumerate((25, 20)):
+        frames = np.arange(0, t, period)
+        beat[i, frames] = 5.0
+        downbeat[i, frames[::4]] = 5.0
+    mask = np.ones((2, t), bool)
+    mask[1, 500:] = False
+    beats, downbeats = pp(beat, downbeat, mask)
+    assert len(beats) == 2
+    np.testing.assert_allclose(np.diff(beats[0]), 0.5, atol=0.06)
+    np.testing.assert_allclose(np.diff(beats[1]), 0.4, atol=0.06)
+    assert beats[1].max() < 10.0  # padding region excluded
+    assert len(downbeats[0]) > 0
+
+
 def test_threshold_trimming_offsets_times():
     decoder = DbnDecoder()
     act = make_click_activations(120, 4, 10)
