@@ -123,13 +123,12 @@ def attention_block(
     qkv = jnp.moveaxis(qkv, 2, 0)  # (3, b, n, heads, head_dim)
     q, k, v = (jnp.swapaxes(t, 1, 2) for t in qkv)  # (b, heads, n, head_dim)
     cos, sin = rope
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
     rng_attn = rng_out = None
     if rng is not None:
         rng_attn, rng_out = jax.random.split(rng)
-    # flash path (forward + custom-VJP backward); attention-probability
-    # dropout is regenerated in-kernel from a seed derived from the rng
+    # flash path (forward + custom-VJP backward); RoPE is folded into the
+    # kernels (saving two full memory passes over q and k) and attention-
+    # probability dropout is regenerated in-kernel from a seed
     if n >= FLASH_MIN_SEQ and _flash_enabled():
         from beat_this_tpu.ops.flash_attention import flash_attention
 
@@ -145,6 +144,8 @@ def attention_block(
             v.reshape(b * heads, n, head_dim),
             dropout_rate=rate,
             seed=seed,
+            rope_cos=cos,
+            rope_sin=sin,
         ).reshape(b, heads, n, head_dim)
     elif (
         rng is None
@@ -160,8 +161,12 @@ def attention_block(
             q.reshape(b * heads, n, head_dim),
             k.reshape(b * heads, n, head_dim),
             v.reshape(b * heads, n, head_dim),
+            rope_cos=cos,
+            rope_sin=sin,
         ).reshape(b, heads, n, head_dim)
     else:
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
         out = sdpa(q, k, v, dropout_rate=dropout_rate, rng=rng_attn)
     # per-head sigmoid gates computed from the normed input
     gates = g @ params["gates_w"].astype(g.dtype) + params["gates_b"].astype(g.dtype)

@@ -52,12 +52,49 @@ def _dropout_mask(seed_ref, bh, qb, kb, shape, rate):
     return keep.astype(jnp.float32) / (1.0 - rate)
 
 
-def _masked_scores(q, k_ref, kb, block_k, kv_len):
-    """q (block_q, d) float32 (pre-scaled) x k block -> masked (bq, bk) f32."""
+def _rswap(d):
+    """Constant (d, d) matrix with x @ _rswap == rotate_half(x):
+    out[2i] = -x[2i+1], out[2i+1] = x[2i] (interleaved RoPE pairs)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+    plus = (j % 2 == 0) & (i == j + 1)
+    minus = (j % 2 == 1) & (i == j - 1)
+    return plus.astype(jnp.float32) - minus.astype(jnp.float32)
+
+
+def rope_rotate(x, cos, sin):
+    """Apply interleaved RoPE: x * cos + rotate_half(x) * sin, with
+    rotate_half as a (d, d) matmul (MXU-friendly, no lane shuffles)."""
+    rotated = jax.lax.dot_general(
+        x, _rswap(x.shape[-1]),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return x * cos + rotated * sin
+
+
+def rope_rotate_inv(x, cos, sin):
+    """Transpose (= inverse) of rope_rotate for gradient pullback."""
+    rotated = jax.lax.dot_general(
+        x * sin, _rswap(x.shape[-1]),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return x * cos - rotated
+
+
+def _masked_scores(q, k_ref, cos_ref, sin_ref, kb, block_k, kv_len):
+    """q (block_q, d) float32 (pre-scaled, rotated) x rotated k block ->
+    masked (bq, bk) f32 scores."""
     block_q = q.shape[0]
-    k = k_ref[0, kb * block_k : (kb + 1) * block_k, :]
+    k = k_ref[0, kb * block_k : (kb + 1) * block_k, :].astype(jnp.float32)
+    k = rope_rotate(
+        k,
+        cos_ref[0, kb * block_k : (kb + 1) * block_k, :],
+        sin_ref[0, kb * block_k : (kb + 1) * block_k, :],
+    )
     s = jax.lax.dot_general(
-        q, k.astype(jnp.float32),
+        q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -67,22 +104,31 @@ def _masked_scores(q, k_ref, kb, block_k, kv_len):
     return jnp.where(col < kv_len, s, -jnp.inf)
 
 
-def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, kv_len,
-                  block_k, scale, rate):
-    _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, o_ref, None,
-                    kv_len=kv_len, block_k=block_k, scale=scale, rate=rate)
+def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
+                  kv_len, block_k, scale, rate):
+    _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref,
+                    None, kv_len=kv_len, block_k=block_k, scale=scale,
+                    rate=rate)
 
 
-def _flash_kernel_lse(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                      kv_len, block_k, scale, rate):
-    _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                    kv_len=kv_len, block_k=block_k, scale=scale, rate=rate)
+def _flash_kernel_lse(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref,
+                      lse_ref, *, kv_len, block_k, scale, rate):
+    _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref,
+                    lse_ref, kv_len=kv_len, block_k=block_k, scale=scale,
+                    rate=rate)
 
 
-def _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len,
-                    block_k, scale, rate):
-    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
+def _q_tables(cos_ref, sin_ref, block_q):
+    qb = pl.program_id(1)
+    sl = pl.ds(qb * block_q, block_q)
+    return cos_ref[0, sl, :], sin_ref[0, sl, :]
+
+
+def _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref,
+                    lse_ref, *, kv_len, block_k, scale, rate):
+    q = q_ref[0].astype(jnp.float32)  # (block_q, d)
     block_q, d = q.shape
+    q = rope_rotate(q, *_q_tables(cos_ref, sin_ref, block_q)) * scale
     kv_pad = k_ref.shape[1]
     num_kb = kv_pad // block_k
 
@@ -92,7 +138,7 @@ def _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len,
 
     for kb in range(num_kb):
         v = v_ref[0, kb * block_k : (kb + 1) * block_k, :]
-        s = _masked_scores(q, k_ref, kb, block_k, kv_len)
+        s = _masked_scores(q, k_ref, cos_ref, sin_ref, kb, block_k, kv_len)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
@@ -117,19 +163,26 @@ def _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len,
         lse_ref[0, :, 0] = (m + jnp.log(l))[:, 0]
 
 
-def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                     delta_ref, dq_ref, *, kv_len, block_k, scale, rate):
-    q = q_ref[0].astype(jnp.float32) * scale
+def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
+                     do_ref, lse_ref, delta_ref, dq_ref, *, kv_len, block_k,
+                     scale, rate):
+    q = q_ref[0].astype(jnp.float32)
+    block_q, d = q.shape
+    q_cos, q_sin = _q_tables(cos_ref, sin_ref, block_q)
+    q = rope_rotate(q, q_cos, q_sin) * scale
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, :, :]  # (block_q, 1)
     delta = delta_ref[0, :, :]
-    block_q, d = q.shape
     num_kb = k_ref.shape[1] // block_k
     dq = jnp.zeros((block_q, d), jnp.float32)
     for kb in range(num_kb):
-        k = k_ref[0, kb * block_k : (kb + 1) * block_k, :].astype(jnp.float32)
-        v = v_ref[0, kb * block_k : (kb + 1) * block_k, :].astype(jnp.float32)
-        s = _masked_scores(q, k_ref, kb, block_k, kv_len)
+        ksl = pl.ds(kb * block_k, block_k)
+        k = rope_rotate(
+            k_ref[0, ksl, :].astype(jnp.float32),
+            cos_ref[0, ksl, :], sin_ref[0, ksl, :],
+        )
+        v = v_ref[0, ksl, :].astype(jnp.float32)
+        s = _masked_scores(q, k_ref, cos_ref, sin_ref, kb, block_k, kv_len)
         p = jnp.exp(s - lse)  # masked cols -> exp(-inf) = 0
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -144,20 +197,28 @@ def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+    # pull the gradient back through the rotation (transpose = inverse)
+    dq_ref[0] = (rope_rotate_inv(dq, q_cos, q_sin) * scale).astype(dq_ref.dtype)
 
 
-def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                      delta_ref, dk_ref, dv_ref, *, q_len, block_q, scale,
-                      rate):
-    k = k_ref[0].astype(jnp.float32)  # (block_k, d)
+def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
+                      do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, q_len,
+                      block_q, scale, rate):
+    block_k, d = k_ref.shape[1], k_ref.shape[2]
+    kb = pl.program_id(1)
+    k_cos = cos_ref[0, pl.ds(kb * block_k, block_k), :]
+    k_sin = sin_ref[0, pl.ds(kb * block_k, block_k), :]
+    k = rope_rotate(k_ref[0].astype(jnp.float32), k_cos, k_sin)
     v = v_ref[0].astype(jnp.float32)
-    block_k, d = k.shape
     num_qb = q_ref.shape[1] // block_q
     dk = jnp.zeros((block_k, d), jnp.float32)
     dv = jnp.zeros((block_k, d), jnp.float32)
     for qb in range(num_qb):
-        q = q_ref[0, qb * block_q : (qb + 1) * block_q, :].astype(jnp.float32)
+        qsl = pl.ds(qb * block_q, block_q)
+        q = rope_rotate(
+            q_ref[0, qsl, :].astype(jnp.float32),
+            cos_ref[0, qsl, :], sin_ref[0, qsl, :],
+        )
         do = do_ref[0, qb * block_q : (qb + 1) * block_q, :].astype(jnp.float32)
         lse = lse_ref[0, qb * block_q : (qb + 1) * block_q, :]
         delta = delta_ref[0, qb * block_q : (qb + 1) * block_q, :]
@@ -191,7 +252,7 @@ def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dk_ref[0] = (rope_rotate_inv(dk, k_cos, k_sin) * scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
@@ -206,23 +267,45 @@ def _pad_seq(x, n_pad):
     return jnp.pad(x, ((0, 0), (0, n_pad - x.shape[1]), (0, 0)))
 
 
-def _flash_forward(q, k, v, seed, block_q, block_k, interpret, rate,
+def _pad_tables(cos, sin, n, d, n_tab):
+    """Expand half-width tables to (1, n_tab, d) full-width float32; identity
+    (cos=1, sin=0) when no rotation is requested."""
+    if cos is None:
+        cosf = jnp.ones((1, n_tab, d), jnp.float32)
+        sinf = jnp.zeros((1, n_tab, d), jnp.float32)
+        return cosf, sinf
+    cosf = jnp.repeat(cos.astype(jnp.float32), 2, axis=-1)[None]
+    sinf = jnp.repeat(sin.astype(jnp.float32), 2, axis=-1)[None]
+    pad = ((0, 0), (0, n_tab - cosf.shape[1]), (0, 0))
+    # padded positions get identity rotation (their values are masked anyway)
+    return (
+        jnp.pad(cosf, pad, constant_values=1.0),
+        jnp.pad(sinf, pad, constant_values=0.0),
+    )
+
+
+def _flash_forward(q, k, v, seed, cos, sin, block_q, block_k, interpret, rate,
                    need_lse):
     bh, n, d = q.shape
     scale = d**-0.5
     n_q_pad = -(-n // block_q) * block_q
     block_k = min(block_k, -(-n // 128) * 128)
     n_k_pad = -(-n // block_k) * block_k
+    n_tab = max(n_q_pad, n_k_pad)
     kwargs = _specs(interpret)
     seed_spec = _seed_spec(interpret)
+    tab_spec = pl.BlockSpec((1, n_tab, d), lambda b, i: (0, 0, 0), **kwargs)
+    cosf, sinf = _pad_tables(cos, sin, n, d, n_tab)
     in_specs = [
         seed_spec,
         pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **kwargs),
         pl.BlockSpec((1, n_k_pad, d), lambda b, i: (b, 0, 0), **kwargs),
         pl.BlockSpec((1, n_k_pad, d), lambda b, i: (b, 0, 0), **kwargs),
+        tab_spec,
+        tab_spec,
     ]
     args = (seed, _pad_seq(q, n_q_pad), _pad_seq(k, n_k_pad),
-            _pad_seq(v, n_k_pad))
+            _pad_seq(v, n_k_pad), cosf, sinf)
     grid = (bh, n_q_pad // block_q)
     common = dict(kv_len=n, block_k=block_k, scale=scale, rate=rate)
     if not need_lse:
@@ -259,15 +342,18 @@ def _seed_spec(interpret):
     return pl.BlockSpec((1,), lambda b, i: (0,))
 
 
-def _flash_backward(q, k, v, o, lse_pad, do, seed, block_q, block_k,
-                    interpret, rate):
+def _flash_backward(q, k, v, o, lse_pad, do, seed, cos, sin, block_q,
+                    block_k, interpret, rate):
     bh, n, d = q.shape
     scale = d**-0.5
     n_q_pad = -(-n // block_q) * block_q
     block_k = min(block_k, -(-n // 128) * 128)
     n_k_pad = -(-n // block_k) * block_k
+    n_tab = max(n_q_pad, n_k_pad)
     kwargs = _specs(interpret)
     seed_spec = _seed_spec(interpret)
+    tab_spec = pl.BlockSpec((1, n_tab, d), lambda b, i: (0, 0, 0), **kwargs)
+    cosf, sinf = _pad_tables(cos, sin, n, d, n_tab)
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     )  # (bh, n)
@@ -287,49 +373,55 @@ def _flash_backward(q, k, v, o, lse_pad, do, seed, block_q, block_k,
             _flash_dq_kernel, kv_len=n, block_k=block_k, scale=scale, rate=rate
         ),
         grid=(bh, n_q_pad // block_q),
-        in_specs=[seed_spec, q_spec, k_full, k_full, q_spec, row_spec, row_spec],
+        in_specs=[seed_spec, q_spec, k_full, k_full, tab_spec, tab_spec,
+                  q_spec, row_spec, row_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
         interpret=interpret,
-    )(seed, qp, kp, vp, dop, lse_pad, deltap)
+    )(seed, qp, kp, vp, cosf, sinf, dop, lse_pad, deltap)
 
     dk, dv = pl.pallas_call(
         functools.partial(
             _flash_dkv_kernel, q_len=n, block_q=block_q, scale=scale, rate=rate
         ),
         grid=(bh, n_k_pad // block_k),
-        in_specs=[seed_spec, q_full, k_spec, k_spec, q_full, row_full, row_full],
+        in_specs=[seed_spec, q_full, k_spec, k_spec, tab_spec, tab_spec,
+                  q_full, row_full, row_full],
         out_specs=(k_spec, k_spec),
         out_shape=(
             jax.ShapeDtypeStruct((bh, n_k_pad, d), q.dtype),
             jax.ShapeDtypeStruct((bh, n_k_pad, d), q.dtype),
         ),
         interpret=interpret,
-    )(seed, qp, kp, vp, dop, lse_pad, deltap)
+    )(seed, qp, kp, vp, cosf, sinf, dop, lse_pad, deltap)
     return dq[:, :n, :], dk[:, :n, :], dv[:, :n, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_attention(q, k, v, seed, block_q, block_k, interpret, rate):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _flash_attention(q, k, v, seed, cos, sin, block_q, block_k, interpret,
+                     rate):
     out, _ = _flash_forward(
-        q, k, v, seed, block_q, block_k, interpret, rate, need_lse=False
+        q, k, v, seed, cos, sin, block_q, block_k, interpret, rate,
+        need_lse=False,
     )
     return out
 
 
-def _flash_attention_fwd(q, k, v, seed, block_q, block_k, interpret, rate):
+def _flash_attention_fwd(q, k, v, seed, cos, sin, block_q, block_k, interpret,
+                         rate):
     out, lse = _flash_forward(
-        q, k, v, seed, block_q, block_k, interpret, rate, need_lse=True
+        q, k, v, seed, cos, sin, block_q, block_k, interpret, rate,
+        need_lse=True,
     )
-    return out, (q, k, v, seed, out, lse)
+    return out, (q, k, v, seed, cos, sin, out, lse)
 
 
 def _flash_attention_bwd(block_q, block_k, interpret, rate, residuals, do):
-    q, k, v, seed, o, lse = residuals
+    q, k, v, seed, cos, sin, o, lse = residuals
     dq, dk, dv = _flash_backward(
-        q, k, v, o, lse, do, seed, block_q, block_k, interpret, rate
+        q, k, v, o, lse, do, seed, cos, sin, block_q, block_k, interpret, rate
     )
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None, None
 
 
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
@@ -348,6 +440,8 @@ def flash_attention(
     interpret: bool = False,
     dropout_rate: float = 0.0,
     seed=None,
+    rope_cos=None,
+    rope_sin=None,
 ) -> jnp.ndarray:
     """Softmax attention over (bh, seq, head_dim) with 1/sqrt(d) scaling.
 
@@ -363,7 +457,8 @@ def flash_attention(
     else:
         seed = jnp.asarray(seed, jnp.int32).reshape((1,))
     return _flash_attention(
-        q, k, v, seed, block_q, block_k, interpret, float(dropout_rate)
+        q, k, v, seed, rope_cos, rope_sin, block_q, block_k, interpret,
+        float(dropout_rate),
     )
 
 

@@ -49,6 +49,48 @@ def test_gradients_match_sdpa(n=300):
         )
 
 
+def test_rope_folding_matches_external_rope(n=300):
+    import jax
+
+    from beat_this_tpu.ops.rotary import apply_rope, rope_tables
+
+    rng = np.random.RandomState(11)
+    bh, d = 3, 32
+    q = jnp.asarray(rng.randn(bh, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(bh, n, d), jnp.float32)
+    v = jnp.asarray(rng.randn(bh, n, d), jnp.float32)
+    cos, sin = rope_tables(n, d)
+
+    ref = sdpa(apply_rope(q, cos, sin), apply_rope(k, cos, sin), v)
+    out = flash_attention(
+        q, k, v, block_q=128, block_k=128, interpret=True,
+        rope_cos=cos, rope_sin=sin,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    # gradients (incl. the inverse rotation in the backward kernels)
+    cot = jnp.asarray(rng.randn(bh, n, d), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, block_q=128, block_k=128, interpret=True,
+                            rope_cos=cos, rope_sin=sin) * cot
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            sdpa(apply_rope(q, cos, sin), apply_rope(k, cos, sin), v) * cot
+        )
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3,
+            err_msg=f"rope grad mismatch for {name}",
+        )
+
+
 def test_bfloat16(n=200):
     rng = np.random.RandomState(0)
     q = jnp.asarray(rng.randn(2, n, 32), jnp.bfloat16)
