@@ -33,6 +33,7 @@ from beat_this_tpu.model.layers import (
     batch_norm_apply,
     conv2d_tf,
     feed_forward,
+    ff_residual,
     rms_norm,
 )
 from beat_this_tpu.ops.rotary import rope_tables
@@ -259,16 +260,16 @@ def apply_beat_this(
             )
             return wrapped(p, x, rope, rng)
 
-        def ff_fn(p, x, *, dropout_rate, rng):
+        def ff_res(p, x, *, dropout_rate, rng):
             wrapped = jax.checkpoint(
-                lambda p_, x_, rng_: feed_forward(
+                lambda p_, x_, rng_: x_ + feed_forward(
                     p_, x_, dropout_rate=dropout_rate, rng=rng_
                 )
             )
             return wrapped(p, x, rng)
     else:
         attention_fn = attention_block
-        ff_fn = feed_forward
+        ff_res = ff_residual
 
     # --- stem ---
     h, new_state["stem"]["bn1d"] = batch_norm_apply(
@@ -299,7 +300,7 @@ def apply_beat_this(
                 p["attnF"], hf, rope_freq, heads,
                 dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1),
             )
-            hf = hf + ff_fn(
+            hf = ff_res(
                 p["ffF"], hf, dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1)
             )
             # time-axis roformer: -> (B*F, T, C)
@@ -309,7 +310,7 @@ def apply_beat_this(
                 p["attnT"], ht, rope_time, heads,
                 dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1),
             )
-            ht = ht + ff_fn(
+            ht = ff_res(
                 p["ffT"], ht, dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1)
             )
             h = ht.reshape(b, n_freq, t, dim).transpose(0, 2, 1, 3)
@@ -331,7 +332,7 @@ def apply_beat_this(
             layer["attn"], h, rope_time, c.transformer_dim // c.head_dim,
             dropout_rate=drop_t, rng=next_rng(rng_i := rng_i + 1),
         )
-        h = h + ff_fn(
+        h = ff_res(
             layer["ff"], h, dropout_rate=drop_t, rng=next_rng(rng_i := rng_i + 1)
         )
     h = rms_norm(h, params["transformer"]["norm_gamma"])

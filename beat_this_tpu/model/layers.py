@@ -199,6 +199,25 @@ def feed_forward(
     return _dropout(h, dropout_rate, rng2)
 
 
+def ff_residual(
+    params: dict,
+    x: jnp.ndarray,
+    *,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """`x + feed_forward(x)`, fused into one Pallas kernel on the no-dropout
+    path (single read/write of the activations instead of ~6 passes)."""
+    if rng is None and _flash_enabled():
+        from beat_this_tpu.ops.fused_ff import fused_ff
+
+        return fused_ff(
+            x, params["norm_gamma"], params["w1"], params["b1"],
+            params["w2"], params["b2"],
+        )
+    return x + feed_forward(params, x, dropout_rate=dropout_rate, rng=rng)
+
+
 def batch_norm_apply(
     params: dict,
     x: jnp.ndarray,
