@@ -55,6 +55,32 @@ def test_logit_parity_vs_torch_oracle(cfg, model):
         np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
 
 
+def test_logit_parity_full_size_config():
+    """The flagship configuration (transformer_dim=512, 6 layers, 16 heads)
+    against the torch oracle — catches head/dim-specific mapping bugs the
+    small-config test cannot."""
+    full_cfg = BeatThisConfig()
+    params, state = init_beat_this(7, full_cfg)
+    rng = np.random.RandomState(0)
+    state = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            rng.uniform(0.5, 1.5, np.shape(a)).astype(np.float32)
+        ),
+        state,
+    )
+    sd = pytree_to_torch_state_dict(params, state)
+    x = rng.randn(1, 64, 128).astype(np.float32)
+    out, _ = jax.jit(
+        lambda p, s, x: apply_beat_this(p, s, x, full_cfg)
+    )(params, state, jnp.asarray(x))
+    with torch.no_grad():
+        out_torch = torch_oracle.forward(sd, torch.from_numpy(x))
+    for key in ("beat", "downbeat"):
+        np.testing.assert_allclose(
+            np.asarray(out[key]), out_torch[key].numpy(), atol=1e-4
+        )
+
+
 def test_torch_ckpt_loader_roundtrip(tmp_path, cfg, model):
     """Write a Lightning-style .ckpt with torch.save, read it back with the
     torch-free loader, convert to pytrees, and compare every leaf."""
