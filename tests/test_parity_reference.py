@@ -1,0 +1,211 @@
+"""Parity against the REAL reference implementation.
+
+Imports `/root/reference/beat_this/model/beat_tracker.py` itself (not a
+re-derived oracle) with a minimal local stand-in for the one missing
+dependency, `rotary_embedding_torch`, and checks that the checkpoint bridge
+(`torch_state_dict_to_pytree`) maps the reference's genuine `state_dict()`
+— real key names, real tensor layouts — onto a JAX pytree that reproduces
+the reference logits.
+
+The stand-in implements the default configuration of lucidrains'
+rotary-embedding-torch exactly as the reference constructs it
+(reference beat_tracker.py:52 `RotaryEmbedding(head_dim)`, used via
+`rotate_queries_or_keys` at roformer.py:121-123): theta=10000, language-model
+frequency spacing, interleaved pair rotation over the full head dimension.
+
+A final, network-gated test loads a genuinely released checkpoint when one is
+available on disk (`BEAT_THIS_REAL_CKPT=/path/to/final0.ckpt`) and diffs
+logits end to end; it skips cleanly in the no-egress CI sandbox.
+"""
+
+import os
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from beat_this_tpu.io.torch_ckpt import (
+    pytree_to_torch_state_dict,
+    torch_state_dict_to_pytree,
+)
+from beat_this_tpu.model import BeatThisConfig, apply_beat_this
+
+REFERENCE_ROOT = Path("/root/reference")
+
+
+def _install_rotary_shim():
+    """Register a `rotary_embedding_torch` stand-in implementing the default
+    `RotaryEmbedding(dim).rotate_queries_or_keys(t)` semantics."""
+    if "rotary_embedding_torch" in sys.modules:
+        return
+
+    class RotaryEmbedding(torch.nn.Module):
+        def __init__(self, dim, theta=10000):
+            super().__init__()
+            inv_freq = 1.0 / (
+                theta ** (torch.arange(0, dim, 2, dtype=torch.float32) / dim)
+            )
+            self.register_buffer("inv_freq", inv_freq, persistent=False)
+
+        def rotate_queries_or_keys(self, t, seq_dim=-2, offset=0):
+            seq_len = t.shape[seq_dim]
+            pos = torch.arange(seq_len, dtype=self.inv_freq.dtype) + offset
+            angles = torch.einsum("i,j->ij", pos, self.inv_freq)
+            angles = torch.repeat_interleave(angles, 2, dim=-1)  # (n, d)
+            cos, sin = angles.cos(), angles.sin()
+            x_even, x_odd = t[..., 0::2], t[..., 1::2]
+            rotated = torch.stack((-x_odd, x_even), dim=-1).reshape(t.shape)
+            return t * cos + rotated * sin
+
+    module = types.ModuleType("rotary_embedding_torch")
+    module.RotaryEmbedding = RotaryEmbedding
+    sys.modules["rotary_embedding_torch"] = module
+
+
+@pytest.fixture(scope="module")
+def reference_beat_tracker():
+    if not (REFERENCE_ROOT / "beat_this" / "model" / "beat_tracker.py").exists():
+        pytest.skip("reference checkout not mounted")
+    _install_rotary_shim()
+    sys.path.insert(0, str(REFERENCE_ROOT))
+    try:
+        from beat_this.model import beat_tracker
+    finally:
+        sys.path.remove(str(REFERENCE_ROOT))
+    return beat_tracker
+
+
+def _reference_model(beat_tracker, **kwargs):
+    torch.manual_seed(20240815)
+    model = beat_tracker.BeatThis(**kwargs)
+    model.eval()
+    # perturb BN running stats away from the (0, 1) init so eval-mode BN is
+    # actually exercised by the parity check
+    rng = np.random.RandomState(11)
+    with torch.no_grad():
+        for mod in model.modules():
+            if isinstance(mod, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                n = mod.running_mean.numel()
+                mod.running_mean.copy_(
+                    torch.from_numpy(rng.uniform(-0.5, 0.5, n).astype(np.float32))
+                )
+                mod.running_var.copy_(
+                    torch.from_numpy(rng.uniform(0.5, 1.5, n).astype(np.float32))
+                )
+    return model
+
+
+def _assert_logit_parity(model, config, x, atol):
+    with torch.no_grad():
+        out_ref = model(torch.from_numpy(x))
+    params, state = torch_state_dict_to_pytree(
+        {k: v.numpy() for k, v in model.state_dict().items()}, config
+    )
+    out_jax, _ = jax.jit(lambda p, s, a: apply_beat_this(p, s, a, config))(
+        params, state, jnp.asarray(x)
+    )
+    for key in ("beat", "downbeat"):
+        np.testing.assert_allclose(
+            np.asarray(out_jax[key]), out_ref[key].numpy(), atol=atol
+        )
+
+
+def test_bridge_key_names_match_reference(reference_beat_tracker):
+    """`pytree_to_torch_state_dict` emits exactly the reference model's key
+    set — the contract that makes real released checkpoints loadable."""
+    model = _reference_model(
+        reference_beat_tracker, transformer_dim=128, n_layers=2
+    )
+    ref_keys = set(model.state_dict().keys())
+    config = BeatThisConfig(transformer_dim=128, n_layers=2)
+    params, state = torch_state_dict_to_pytree(
+        {k: v.numpy() for k, v in model.state_dict().items()}, config
+    )
+    ours = set(pytree_to_torch_state_dict(params, state).keys())
+    assert ours == ref_keys
+
+
+def test_logit_parity_vs_reference_small(reference_beat_tracker):
+    config = BeatThisConfig(transformer_dim=128, n_layers=2)
+    x = np.random.RandomState(3).randn(2, 100, 128).astype(np.float32) * 2.0
+    model = _reference_model(
+        reference_beat_tracker, transformer_dim=128, n_layers=2
+    )
+    _assert_logit_parity(model, config, x, atol=2e-4)
+
+
+def test_logit_parity_vs_reference_full_size(reference_beat_tracker):
+    """Flagship config (512-dim, 6 layers, 16 heads) against the genuine
+    reference forward — the strongest no-network parity signal available."""
+    config = BeatThisConfig()
+    x = np.random.RandomState(5).randn(1, 64, 128).astype(np.float32)
+    model = _reference_model(reference_beat_tracker)
+    _assert_logit_parity(model, config, x, atol=5e-4)
+
+
+def test_logit_parity_vs_reference_no_sum_head_no_partial(reference_beat_tracker):
+    """The two architecture flags (plain Head, no partial transformers) also
+    map correctly through the bridge."""
+    config = BeatThisConfig(
+        transformer_dim=128, n_layers=2, sum_head=False, partial_transformers=False
+    )
+    x = np.random.RandomState(7).randn(1, 80, 128).astype(np.float32)
+    model = _reference_model(
+        reference_beat_tracker,
+        transformer_dim=128,
+        n_layers=2,
+        sum_head=False,
+        partial_transformers=False,
+    )
+    _assert_logit_parity(model, config, x, atol=2e-4)
+
+
+def test_real_released_checkpoint_parity(reference_beat_tracker):
+    """End-to-end parity on a genuinely released checkpoint.
+
+    Gated on `BEAT_THIS_REAL_CKPT` pointing at a downloaded `final0.ckpt` /
+    `small0.ckpt` (reference inference.py:38-48) — the CI sandbox has no
+    network egress, so this skips there and runs wherever the file exists.
+    """
+    path = os.environ.get("BEAT_THIS_REAL_CKPT")
+    if not path:
+        pytest.skip("set BEAT_THIS_REAL_CKPT=/path/to/final0.ckpt to run")
+    from beat_this_tpu.inference import load_model
+
+    params, state, config = load_model(path)
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    hparams = {
+        k: v
+        for k, v in ckpt["hyper_parameters"].items()
+        if k
+        in (
+            "spect_dim transformer_dim ff_mult n_layers head_dim stem_dim "
+            "dropout sum_head partial_transformers".split()
+        )
+    }
+    model = reference_beat_tracker.BeatThis(**hparams)
+    model.load_state_dict(
+        {
+            k[len("model.") :]: v
+            for k, v in ckpt["state_dict"].items()
+            if k.startswith("model.")
+        }
+    )
+    model.eval()
+    x = np.random.RandomState(0).randn(1, 1500, 128).astype(np.float32)
+    with torch.no_grad():
+        out_ref = model(torch.from_numpy(x))
+    out_jax, _ = jax.jit(lambda p, s, a: apply_beat_this(p, s, a, config))(
+        params, state, jnp.asarray(x)
+    )
+    for key in ("beat", "downbeat"):
+        np.testing.assert_allclose(
+            np.asarray(out_jax[key]), out_ref[key].numpy(), atol=1e-3
+        )
