@@ -87,6 +87,26 @@ class LoadedModel:
     state: dict
 
 
+def BeatThis(seed: int = 0, **hparams) -> LoadedModel:
+    """Build a freshly initialized model from reference-style hyperparameters
+    (`transformer_dim`, `n_layers`, `dropout={"frontend":…, "transformer":…}`,
+    …) — the functional equivalent of constructing the reference model class
+    (reference hubconf.py:12, beat_this/model/beat_tracker.py:18-49). Returns
+    a `LoadedModel` bundle ready for `ChunkedPredictor` or training."""
+    from beat_this_tpu.model import init_beat_this
+
+    known = {
+        "spect_dim", "transformer_dim", "ff_mult", "n_layers", "head_dim",
+        "stem_dim", "sum_head", "partial_transformers", "dropout",
+    }
+    unknown = set(hparams) - known
+    if unknown:
+        raise TypeError(f"unknown hyperparameters: {sorted(unknown)}")
+    config = BeatThisConfig.from_hparams(hparams)
+    params, state = init_beat_this(seed, config)
+    return LoadedModel(config, params, state)
+
+
 def load_model(checkpoint_path: str | None = "final0") -> LoadedModel:
     """Build a model from a checkpoint (reference beat_this/inference.py:56-87).
     With `None`, returns a freshly initialized default model."""
@@ -126,6 +146,11 @@ def _bucket(n: int, buckets=(1, 2, 4, 8, 16, 32, 64, 128, 256)) -> int:
         if n <= b:
             return b
     return int(2 ** math.ceil(math.log2(n)))
+
+
+def _time_buckets(chunk_size: int) -> tuple[int, ...]:
+    """Padded sequence lengths compiled for pieces shorter than one chunk."""
+    return tuple(b for b in (192, 384, 768) if b < chunk_size) + (chunk_size,)
 
 
 class ChunkedPredictor:
@@ -184,11 +209,86 @@ class ChunkedPredictor:
 
         return jax.jit(fn)
 
+    # -- short pieces (one chunk shorter than chunk_size) --------------------
+    def _short_fn(self) -> Callable:
+        config, dtype = self.model.config, self.compute_dtype
+
+        def fn(params, state, chunks, valid_lengths):
+            out, _ = apply_beat_this(
+                params, state, chunks, config,
+                compute_dtype=dtype, valid_lengths=valid_lengths,
+            )
+            return out["beat"], out["downbeat"]
+
+        return jax.jit(fn)
+
+    def _predict_short(self, spects) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Pieces no longer than one chunk run as a single shorter chunk of
+        length T + 2*border, exactly like the reference
+        (beat_this/inference.py:111-135) — realized shape-statically by
+        padding to a small set of bucket lengths and passing the true length
+        to the model's `valid_lengths` masking."""
+        bs = self.border_size
+        by_bucket: dict[int, list[int]] = {}
+        for idx, spect in enumerate(spects):
+            valid = len(spect) + 2 * bs
+            padded_t = next(p for p in _time_buckets(self.chunk_size) if p >= valid)
+            by_bucket.setdefault(padded_t, []).append(idx)
+        results: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for padded_t, indices in by_bucket.items():
+            n_b = _bucket(len(indices))
+            if self.mesh is not None:
+                from beat_this_tpu.parallel.mesh import pad_to_multiple
+
+                n_b = pad_to_multiple(n_b, self.mesh.devices.size)
+            batch = np.zeros((n_b, padded_t, spects[0].shape[1]), np.float32)
+            valid = np.full((n_b,), padded_t, np.int32)
+            for row, idx in enumerate(indices):
+                spect = spects[idx]
+                batch[row, bs : bs + len(spect)] = spect
+                valid[row] = len(spect) + 2 * bs
+            key = "short"  # one jitted fn; jit retraces per (n_b, padded_t)
+            if key not in self._fns:
+                self._fns[key] = self._short_fn()
+            params, bn_state, batch_dev, valid_dev = self._place(
+                batch, extra=valid
+            )
+            beat, down = self._fns[key](params, bn_state, batch_dev, valid_dev)
+            beat, down = np.asarray(beat), np.asarray(down)
+            for row, idx in enumerate(indices):
+                t = len(spects[idx])
+                results[idx] = (beat[row, bs : bs + t], down[row, bs : bs + t])
+        return [results[i] for i in range(len(spects))]
+
+    def _place(self, batch: np.ndarray, extra: np.ndarray | None = None):
+        """Device placement for (params, state, batch[, extra]) honouring the
+        optional data-parallel mesh."""
+        params, bn_state = self.model.params, self.model.state
+        if self.mesh is None:
+            if extra is None:
+                return params, bn_state, jnp.asarray(batch)
+            return params, bn_state, jnp.asarray(batch), jnp.asarray(extra)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(self.mesh, P("data"))
+        if self._placed_model is None:
+            repl = NamedSharding(self.mesh, P())
+            self._placed_model = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, repl), (params, bn_state)
+            )
+        params, bn_state = self._placed_model
+        batch_dev = jax.device_put(batch, data)
+        if extra is None:
+            return params, bn_state, batch_dev
+        return params, bn_state, batch_dev, jax.device_put(extra, data)
+
     def predict(self, spect: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """spect: (T, mel_bins) -> (beat_logits, downbeat_logits), each (T,)
         float32."""
         spect = np.asarray(spect, dtype=np.float32)
         t = spect.shape[0]
+        if t <= self.stride:
+            return self._predict_short([spect])[0]
         starts = plan_chunks(t, self.chunk_size, self.border_size)
         n_b = _bucket(len(starts))
         if n_b not in self._fns:
@@ -225,8 +325,21 @@ class ChunkedPredictor:
         """Predict several pieces at once: chunks from ALL pieces are packed
         into one batched forward (bucketed), then stitched per piece on host.
         Much higher device utilization than per-piece calls when processing
-        directories."""
+        directories. Pieces shorter than one chunk take the shorter-chunk
+        path (`_predict_short`) so their logits match the reference exactly."""
         spects = [np.asarray(s, dtype=np.float32) for s in spects]
+        short = [i for i, s in enumerate(spects) if len(s) <= self.stride]
+        long = [i for i, s in enumerate(spects) if len(s) > self.stride]
+        out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        if short:
+            for i, res in zip(short, self._predict_short([spects[i] for i in short])):
+                out[i] = res
+        if long:
+            for i, res in zip(long, self._predict_many_long([spects[i] for i in long])):
+                out[i] = res
+        return [out[i] for i in range(len(spects))]
+
+    def _predict_many_long(self, spects) -> list[tuple[np.ndarray, np.ndarray]]:
         plans = [plan_chunks(len(s), self.chunk_size, self.border_size)
                  for s in spects]
         chunk_list = []
@@ -247,18 +360,7 @@ class ChunkedPredictor:
             self._fns[("chunks", n_b)] = self._forward_chunks_fn(n_b)
         batch = np.zeros((n_b, self.chunk_size, spects[0].shape[1]), np.float32)
         batch[:total] = np.stack(chunk_list)
-        batch_dev = jnp.asarray(batch)
-        params, bn_state = self.model.params, self.model.state
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            batch_dev = jax.device_put(batch, NamedSharding(self.mesh, P("data")))
-            if self._placed_model is None:
-                repl = NamedSharding(self.mesh, P())
-                self._placed_model = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, repl), (params, bn_state)
-                )
-            params, bn_state = self._placed_model
+        params, bn_state, batch_dev = self._place(batch)
         beat_all, down_all = self._fns[("chunks", n_b)](
             params, bn_state, batch_dev
         )

@@ -226,6 +226,7 @@ def apply_beat_this(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    valid_lengths: Optional[jnp.ndarray] = None,
 ):
     """Run the model.
 
@@ -233,6 +234,16 @@ def apply_beat_this(
         x: (batch, time, spect_dim) log-mel input.
         train: enables dropout (requires `rng`) and batch-stat updates.
         compute_dtype: jnp.float32 or jnp.bfloat16 for the heavy compute.
+        valid_lengths: optional (batch,) int32. When given, each sample's
+            forward is made exactly equal to running the model on only its
+            first `valid_lengths[i]` frames (the tail is re-zeroed before
+            every time convolution so the conv sees the implicit zero padding
+            a shorter input would have, and attention keys past the valid
+            length are masked out of the float32 softmax). This is how the
+            inference engine runs pieces shorter than a compiled bucket
+            length with the reference's shorter-single-chunk semantics
+            (reference beat_this/inference.py:111-135) while keeping shapes
+            static. Eval only.
     Returns:
         ({"beat": (B,T) float32 logits, "downbeat": (B,T) float32 logits},
          new_state)
@@ -241,6 +252,22 @@ def apply_beat_this(
     b, t, f = x.shape
     if f != c.spect_dim:
         raise ValueError(f"expected {c.spect_dim} mel bins, got {f}")
+    if valid_lengths is not None and train:
+        raise ValueError("valid_lengths is an inference-only mechanism")
+    tmask = None
+    if valid_lengths is not None:
+        tmask = (
+            jnp.arange(t, dtype=jnp.int32)[None, :]
+            < valid_lengths.astype(jnp.int32)[:, None]
+        )  # (B, T)
+
+    def zero_tail(h):
+        """Zero time positions past each sample's valid length; h is
+        (B, T, ...)."""
+        if tmask is None:
+            return h
+        mask = tmask.reshape(tmask.shape + (1,) * (h.ndim - 2))
+        return jnp.where(mask, h, jnp.zeros((), h.dtype))
     new_state: dict[str, Any] = {"stem": {}, "blocks": [{} for _ in range(3)]}
     drop_f = c.dropout_frontend if train else 0.0
     drop_t = c.dropout_transformer if train else 0.0
@@ -276,7 +303,7 @@ def apply_beat_this(
         _merged_bn(params["stem"]["bn1d"], state["stem"]["bn1d"]),
         x, axis=-1, train=train,
     )
-    h = h.astype(compute_dtype)[..., None]  # (B, T, F, 1)
+    h = zero_tail(h.astype(compute_dtype))[..., None]  # (B, T, F, 1)
     h = conv2d_tf(params["stem"]["conv"]["w"], h, stride_freq=4, pad_time=1)
     h, new_state["stem"]["bn2d"] = batch_norm_apply(
         _merged_bn(params["stem"]["bn2d"], state["stem"]["bn2d"]),
@@ -306,14 +333,21 @@ def apply_beat_this(
             # time-axis roformer: -> (B*F, T, C)
             ht = hf.reshape(b, t, n_freq, dim).transpose(0, 2, 1, 3)
             ht = ht.reshape(b * n_freq, t, dim)
-            ht = ht + attention_fn(
-                p["attnT"], ht, rope_time, heads,
-                dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1),
-            )
+            if tmask is None:
+                ht = ht + attention_fn(
+                    p["attnT"], ht, rope_time, heads,
+                    dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1),
+                )
+            else:
+                ht = ht + attention_block(
+                    p["attnT"], ht, rope_time, heads,
+                    key_mask=jnp.repeat(tmask, n_freq, axis=0),
+                )
             ht = ff_res(
                 p["ffT"], ht, dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1)
             )
             h = ht.reshape(b, n_freq, t, dim).transpose(0, 2, 1, 3)
+        h = zero_tail(h)
         h = conv2d_tf(block["conv"]["w"], h, stride_freq=2, pad_time=1)
         h, new_state["blocks"][i]["bn"] = batch_norm_apply(
             _merged_bn(block["bn"], state["blocks"][i]["bn"]), h, axis=-1, train=train
@@ -328,10 +362,16 @@ def apply_beat_this(
 
     # --- main transformer ---
     for layer in params["transformer"]["layers"]:
-        h = h + attention_fn(
-            layer["attn"], h, rope_time, c.transformer_dim // c.head_dim,
-            dropout_rate=drop_t, rng=next_rng(rng_i := rng_i + 1),
-        )
+        if tmask is None:
+            h = h + attention_fn(
+                layer["attn"], h, rope_time, c.transformer_dim // c.head_dim,
+                dropout_rate=drop_t, rng=next_rng(rng_i := rng_i + 1),
+            )
+        else:
+            h = h + attention_block(
+                layer["attn"], h, rope_time, c.transformer_dim // c.head_dim,
+                key_mask=tmask,
+            )
         h = ff_res(
             layer["ff"], h, dropout_rate=drop_t, rng=next_rng(rng_i := rng_i + 1)
         )

@@ -78,18 +78,26 @@ def sdpa(
     *,
     dropout_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
+    key_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over (..., heads, seq, head_dim).
 
     Equivalent to `F.scaled_dot_product_attention` (reference:
     beat_this/model/roformer.py:78-80): scale 1/sqrt(head_dim), softmax in
     float32, optional dropout on the attention probabilities (training only).
+
+    `key_mask`: optional (batch, seq) bool; False keys get probability zero
+    (exactly: their logits become -inf before the float32 softmax), making the
+    result bit-equal to running the attention on only the True-key prefix.
     """
     head_dim = q.shape[-1]
     scale = head_dim**-0.5
     logits = jnp.einsum(
         "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
     ) * scale
+    if key_mask is not None:
+        neg_inf = jnp.asarray(-jnp.inf, logits.dtype)
+        logits = jnp.where(key_mask[:, None, None, :], logits, neg_inf)
     probs = jax.nn.softmax(logits, axis=-1)
     probs = _dropout(probs, dropout_rate, rng)
     return jnp.einsum(
@@ -106,12 +114,16 @@ def attention_block(
     *,
     dropout_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
+    key_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Pre-norm gated rotary attention (reference roformer.Attention,
     beat_this/model/roformer.py:83-132). Returns the residual branch only.
 
     params: {"norm_gamma", "qkv_w" (d, 3*inner), "gates_w" (d, heads),
              "gates_b" (heads,), "out_w" (inner, d)}
+    key_mask: optional (b, n) bool marking valid key positions; used by the
+    inference engine to run sequences shorter than the compiled bucket length
+    with exact short-sequence semantics (masked batches take the XLA path).
     """
     b, n, d = x.shape
     g = rms_norm(x, params["norm_gamma"])
@@ -129,7 +141,7 @@ def attention_block(
     # flash path (forward + custom-VJP backward); RoPE is folded into the
     # kernels (saving two full memory passes over q and k) and attention-
     # probability dropout is regenerated in-kernel from a seed
-    if n >= FLASH_MIN_SEQ and _flash_enabled():
+    if key_mask is None and n >= FLASH_MIN_SEQ and _flash_enabled():
         from beat_this_tpu.ops.flash_attention import flash_attention
 
         rate = dropout_rate if rng_attn is not None else 0.0
@@ -148,7 +160,8 @@ def attention_block(
             rope_sin=sin,
         ).reshape(b, heads, n, head_dim)
     elif (
-        rng is None
+        key_mask is None
+        and rng is None
         and n <= 32
         and 128 % n == 0
         and _flash_enabled()
@@ -167,7 +180,9 @@ def attention_block(
     else:
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        out = sdpa(q, k, v, dropout_rate=dropout_rate, rng=rng_attn)
+        out = sdpa(
+            q, k, v, dropout_rate=dropout_rate, rng=rng_attn, key_mask=key_mask
+        )
     # per-head sigmoid gates computed from the normed input
     gates = g @ params["gates_w"].astype(g.dtype) + params["gates_b"].astype(g.dtype)
     out = out * jax.nn.sigmoid(jnp.swapaxes(gates, 1, 2))[..., None]

@@ -25,8 +25,10 @@ def model():
 
 def oracle_predict(model, spect, chunk_size, border_size):
     """Host-side re-implementation of the reference chunked inference
-    (beat_this/inference.py:100-230) with fixed-length (zero-padded) chunks,
-    keep_first overlap, avoid_short_end."""
+    (beat_this/inference.py:100-230): keep_first overlap, avoid_short_end,
+    and — crucially — pieces no longer than one chunk run as a single
+    SHORTER chunk of length t + 2*border (reference inference.py:111-135),
+    not a zero-padded full-size one."""
     t = len(spect)
     starts = plan_chunks(t, chunk_size, border_size)
     fwd = jax.jit(
@@ -34,9 +36,16 @@ def oracle_predict(model, spect, chunk_size, border_size):
     )
     chunk_outs = []
     for start in starts:
-        chunk = np.zeros((chunk_size, spect.shape[1]), np.float32)
         lo, hi = max(start, 0), min(start + chunk_size, t)
-        chunk[lo - start : hi - start] = spect[lo:hi]
+        left = max(0, -start)
+        right = max(0, min(border_size, start + chunk_size - t))
+        chunk = np.concatenate(
+            [
+                np.zeros((left, spect.shape[1]), np.float32),
+                spect[lo:hi],
+                np.zeros((right, spect.shape[1]), np.float32),
+            ]
+        )
         out = fwd(chunk[None])
         chunk_outs.append(
             (np.asarray(out["beat"][0]), np.asarray(out["downbeat"][0]))
@@ -44,11 +53,12 @@ def oracle_predict(model, spect, chunk_size, border_size):
     beat = np.full(t, -1000.0, np.float32)
     downbeat = np.full(t, -1000.0, np.float32)
     for start, (cb, cd) in reversed(list(zip(starts, chunk_outs))):
+        cb = cb[border_size:-border_size] if border_size else cb
+        cd = cd[border_size:-border_size] if border_size else cd
         lo = start + border_size
-        hi = start + chunk_size - border_size
-        piece = slice(lo, min(hi, t))
-        beat[piece] = cb[border_size : border_size + piece.stop - piece.start]
-        downbeat[piece] = cd[border_size : border_size + piece.stop - piece.start]
+        hi = min(start + chunk_size - border_size, t)
+        beat[max(lo, 0) : hi] = cb[: hi - lo]
+        downbeat[max(lo, 0) : hi] = cd[: hi - lo]
     return beat, downbeat
 
 
@@ -165,3 +175,46 @@ def test_save_beat_tsv(tmp_path):
     lines = out.read_text().strip().split("\n")
     assert lines[1] == "1.0\t1"
     assert len(lines) == 4
+
+
+def test_infer_beat_numbers_long_pickup_warns_and_counts_from_two():
+    # pickup (4 beats) longer than first full measure (2 beats)
+    beats = np.arange(8, dtype=float)
+    downbeats = np.array([4.0, 6.0])
+    with pytest.warns(UserWarning):
+        numbers = infer_beat_numbers(beats, downbeats)
+    np.testing.assert_array_equal(numbers, [2, 3, 4, 5, 1, 2, 1, 2])
+
+
+def test_infer_beat_numbers_single_downbeat_warns():
+    beats = np.array([0.0, 0.5, 1.0, 1.5])
+    downbeats = np.array([1.0])
+    with pytest.warns(UserWarning):
+        numbers = infer_beat_numbers(beats, downbeats)
+    np.testing.assert_array_equal(numbers, [2, 3, 1, 2])
+
+
+def test_infer_beat_numbers_no_downbeats_counts_up():
+    beats = np.array([0.0, 0.5, 1.0])
+    with pytest.warns(UserWarning):
+        numbers = infer_beat_numbers(beats, np.array([]))
+    np.testing.assert_array_equal(numbers, [2, 3, 4])
+
+
+def test_infer_beat_numbers_requires_downbeats_subset():
+    with pytest.raises(ValueError):
+        infer_beat_numbers(np.array([0.0, 1.0]), np.array([0.5]))
+
+
+def test_infer_beat_numbers_counts_past_last_downbeat():
+    beats = np.arange(10, dtype=float)
+    downbeats = np.array([0.0, 3.0])
+    numbers = infer_beat_numbers(beats, downbeats)
+    np.testing.assert_array_equal(numbers, [1, 2, 3, 1, 2, 3, 4, 5, 6, 7])
+
+
+def test_save_beat_tsv_leaves_no_staging_file(tmp_path):
+    out = tmp_path / "y.beats"
+    save_beat_tsv(np.array([0.5, 1.0]), np.array([0.5]), out)
+    assert out.exists()
+    assert list(tmp_path.glob("*.part")) == []

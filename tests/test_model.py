@@ -115,3 +115,47 @@ def test_train_mode_updates_bn_and_is_stochastic(small_cfg, small_model, x64):
     # same rng must be deterministic
     out3, _ = fn(params, state, x64, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(out1["beat"]), np.asarray(out3["beat"]))
+
+
+def test_valid_lengths_equals_exact_length_run(small_cfg, small_model):
+    """apply_beat_this on a padded batch with `valid_lengths` reproduces a
+    run at each sample's exact length (the mechanism behind reference-exact
+    short-piece inference)."""
+    params, state = small_model
+    # non-trivial BN stats so eval BN's affine actually moves the zero tail
+    rng = np.random.RandomState(1)
+    state = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.uniform(0.5, 1.5, np.shape(a)).astype(np.float32)),
+        state,
+    )
+    lengths = [37, 64, 50]
+    padded_t = 64
+    xs = [rng.randn(t, 128).astype(np.float32) for t in lengths]
+    batch = np.zeros((len(xs), padded_t, 128), np.float32)
+    for i, x in enumerate(xs):
+        batch[i, : len(x)] = x
+    out_masked, _ = jax.jit(
+        lambda p, s, b, v: apply_beat_this(p, s, b, small_cfg, valid_lengths=v)
+    )(params, state, jnp.asarray(batch), jnp.asarray(lengths, jnp.int32))
+    for i, x in enumerate(xs):
+        out_exact, _ = apply_beat_this(
+            params, state, jnp.asarray(x[None]), small_cfg
+        )
+        for key in ("beat", "downbeat"):
+            np.testing.assert_allclose(
+                np.asarray(out_masked[key])[i, : len(x)],
+                np.asarray(out_exact[key])[0],
+                atol=2e-5,
+                err_msg=f"sample {i} ({len(x)} frames), {key}",
+            )
+
+
+def test_valid_lengths_rejects_train_mode(small_cfg, small_model):
+    params, state = small_model
+    x = jnp.zeros((1, 32, 128), jnp.float32)
+    with pytest.raises(ValueError):
+        apply_beat_this(
+            params, state, x, small_cfg, train=True,
+            rng=jax.random.PRNGKey(0),
+            valid_lengths=jnp.asarray([16], jnp.int32),
+        )

@@ -179,7 +179,8 @@ def test_real_released_checkpoint_parity(reference_beat_tracker):
         pytest.skip("set BEAT_THIS_REAL_CKPT=/path/to/final0.ckpt to run")
     from beat_this_tpu.inference import load_model
 
-    params, state, config = load_model(path)
+    loaded = load_model(path)
+    params, state, config = loaded.params, loaded.state, loaded.config
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     hparams = {
         k: v
@@ -209,3 +210,38 @@ def test_real_released_checkpoint_parity(reference_beat_tracker):
         np.testing.assert_allclose(
             np.asarray(out_jax[key]), out_ref[key].numpy(), atol=1e-3
         )
+
+
+def test_short_piece_logits_match_reference_shorter_chunk(reference_beat_tracker):
+    """A piece shorter than one chunk must reproduce the reference's
+    single-SHORTER-chunk forward (reference inference.py:111-135), not a
+    zero-padded full-chunk forward: the engine pads to a bucket length and
+    uses `valid_lengths` masking to make the two bit-equivalent."""
+    from beat_this_tpu.inference import ChunkedPredictor, LoadedModel
+
+    config = BeatThisConfig(transformer_dim=128, n_layers=2)
+    model = _reference_model(
+        reference_beat_tracker, transformer_dim=128, n_layers=2
+    )
+    params, state = torch_state_dict_to_pytree(
+        {k: v.numpy() for k, v in model.state_dict().items()}, config
+    )
+    t, border = 600, 6
+    spect = np.random.RandomState(9).randn(t, 128).astype(np.float32)
+
+    # reference: one chunk of length t + 2*border, trim border frames
+    chunk = np.concatenate(
+        [np.zeros((border, 128), np.float32), spect,
+         np.zeros((border, 128), np.float32)]
+    )
+    with torch.no_grad():
+        out_ref = model(torch.from_numpy(chunk[None]))
+    ref_beat = out_ref["beat"][0, border:-border].numpy()
+    ref_down = out_ref["downbeat"][0, border:-border].numpy()
+
+    predictor = ChunkedPredictor(
+        LoadedModel(config, params, state), chunk_size=1500, border_size=border
+    )
+    beat, down = predictor.predict(spect)
+    np.testing.assert_allclose(beat, ref_beat, atol=5e-4)
+    np.testing.assert_allclose(down, ref_down, atol=5e-4)
