@@ -24,87 +24,90 @@ except ImportError:  # pragma: no cover
 
 
 def get_parser():
+    # flag names, types and defaults are a compatibility contract with the
+    # reference console script (reference: beat_this/cli.py:22-89)
     parser = argparse.ArgumentParser(
-        description="Detects beats in given audio files with a Beat This! model."
+        description="Beat This! beat tracker: writes a .beats TSV "
+        "(time<TAB>beat-number) per input audio file."
     )
     parser.add_argument(
         "inputs", type=str, nargs="+",
-        help="An audio file to process, or a directory of such files. "
-             "Can be given multiple times.",
+        help="audio files and/or directories to scan recursively",
     )
     parser.add_argument(
         "--model", type=str, default="final0",
-        help="Name, path or URL of checkpoint to use, will be downloaded if "
-             "needed (default: %(default)s).",
+        help="checkpoint to run: a released shortname (fetched and cached on "
+             "first use), a local path, or a URL [%(default)s]",
     )
     parser.add_argument(
         "--output", "-o", type=str, default=None,
-        help="Output file name for a single input file, or output directory "
-             "for multiple input files. If omitted, outputs are saved next to "
-             "each input file by replacing or appending a suffix (see "
-             "--suffix and --append).",
+        help="where results go: a file name (single input) or a base "
+             "directory (mirrors the input tree); by default each result "
+             "lands beside its input, named per --suffix/--append",
     )
     parser.add_argument(
         "--suffix", "-s", type=str, default=".beats",
-        help="Suffix for output file names (default: %(default)s). Also see "
-             "--append. Ignored if an explicit output file name is given.",
+        help="extension for derived output names [%(default)s]; has no "
+             "effect when --output names a single file",
     )
     parser.add_argument(
         "--append", action="store_true",
-        help="If given, append suffix to output file names instead of "
-             "replacing the existing suffix. Ignored if an explicit output "
-             "file name is given.",
+        help="keep the input's own extension and add the suffix after it, "
+             "rather than substituting it",
     )
     parser.add_argument(
         "--skip-existing", action="store_true",
-        help="If given, do not overwrite existing output files, but skip them.",
+        help="leave already-present output files untouched",
     )
     parser.add_argument(
         "--touch-first", action="store_true",
-        help="If given, create empty output file before processing. Combined "
-             "with --skip-existing, allows to run multiple processes in "
-             "parallel on the same set of files.",
+        help="claim each output by creating it empty before processing; with "
+             "--skip-existing this shards one directory safely across "
+             "concurrent processes or hosts",
     )
     parser.add_argument(
         "--dbn", default=False, action=argparse.BooleanOptionalAction,
-        help="Use the DBN (Viterbi) postprocessor instead of peak picking.",
+        help="decode beats with the DBN (Viterbi) postprocessor instead of "
+             "peak picking",
     )
     parser.add_argument(
         "--gpu", type=int, default=0,
-        help="Accepted for compatibility with the reference CLI; device "
-             "placement is controlled by JAX (TPU if available), -1 forces "
-             "CPU. (default: %(default)s)",
+        help="kept for reference-CLI compatibility; JAX owns device "
+             "placement (TPU when present), and -1 forces the CPU backend "
+             "[%(default)s]",
     )
     parser.add_argument(
         "--float16", action="store_true",
-        help="If given, uses bfloat16 arithmetic (TPU-native half precision).",
+        help="compute in bfloat16, the TPU-native half precision",
     )
     parser.add_argument(
         "--activations", action="store_true",
-        help="If given, saves the raw activations with a .npy suffix.",
+        help="also dump the framewise beat/downbeat logits as a .npy file",
     )
     parser.add_argument(
         "--batch-files", type=int, default=8,
-        help="When processing multiple files, batch this many through the "
-             "accelerator at once (default: %(default)s; 1 disables batching).",
+        help="files fed through the accelerator per batch when processing "
+             "many inputs [%(default)s]; 1 disables batching",
     )
     return parser
 
 
 def derive_output_path(input_path, suffix, append, output=None, parent=None):
-    """Output path derivation, same rules as the reference
-    (beat_this/cli.py:92-111)."""
-    if output is None:
-        output_path = input_path
-    else:
-        if parent is not None:
-            input_path = input_path.relative_to(parent)
-        else:
-            input_path = input_path.name
-        output_path = output / input_path
-    if append:
-        return output_path.parent / (output_path.name + suffix)
-    return output_path.with_suffix(suffix)
+    """Map an input audio path to its output path (same rules as reference
+    beat_this/cli.py:92-111).
+
+    Without `output`, results live next to their inputs. With an `output`
+    base directory, the input's position relative to the command-line
+    directory `parent` (or just its file name, for inputs given directly) is
+    re-rooted under `output`. The `suffix` then replaces the extension, or
+    with `append` is added after the complete name.
+    """
+    target = Path(input_path)
+    if output is not None:
+        rel = target.relative_to(parent) if parent is not None else target.name
+        target = Path(output) / rel
+    name = target.name + suffix if append else target.stem + suffix
+    return target.with_name(name)
 
 
 def run(
@@ -123,16 +126,24 @@ def run(
 ):
     if gpu is not None and gpu < 0:
         # force CPU; jax may already be imported (sitecustomize), so update
-        # the live config rather than the environment
+        # the live config rather than the environment — and fail loudly if
+        # the backend was already initialized on an accelerator, instead of
+        # silently running there
         import os
 
         os.environ["JAX_PLATFORMS"] = "cpu"
-        try:
-            import jax
+        import jax
 
+        try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+        if jax.default_backend() != "cpu":
+            raise RuntimeError(
+                "--gpu -1 requested the CPU backend, but JAX is already "
+                f"initialized on '{jax.default_backend()}'. Set "
+                "JAX_PLATFORMS=cpu in the environment before launching."
+            )
 
     from beat_this_tpu.inference import BatchedFile2File
     from beat_this_tpu.io.audio import load_audio

@@ -85,8 +85,8 @@ class BeatTrackingDataset:
                 )
                 oversampled.extend([item] * max(factor, 1))
             print(
-                f"Training set oversampled from {len(items)} to "
-                f"{len(oversampled)} excerpts."
+                f"Length-based oversampling: {len(items)} -> "
+                f"{len(oversampled)} training excerpts."
             )
             items = oversampled
         self.items = items
@@ -100,8 +100,8 @@ class BeatTrackingDataset:
             on_disk = (self.spect_basepath / item_name / aug_filename).exists()
             if not in_bundle and not on_disk:
                 print(
-                    f"Skipping {item_name} because not all necessary "
-                    "spectrograms are there."
+                    f"Dropping {item_name}: missing at least one of its "
+                    "precomputed augmented spectrograms."
                 )
                 return None
         annotation_path = (
@@ -117,8 +117,9 @@ class BeatTrackingDataset:
             beat_value = np.zeros_like(beat_time, dtype=np.int32)
         if self.dataset_info[dataset]["has_downbeats"] and beat_annotation.ndim != 2:
             print(
-                f"Skipping {item_name} because it has {beat_annotation.ndim} "
-                "columns but downbeat is supposed to be there."
+                f"Dropping {item_name}: the dataset promises downbeat "
+                f"annotations but the beats file is {beat_annotation.ndim}-"
+                "dimensional instead of 2-column."
             )
             return None
         downbeat_mask = bool(self.dataset_info[dataset]["has_downbeats"])

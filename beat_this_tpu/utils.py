@@ -1,14 +1,21 @@
 """Cross-cutting helpers: framewise targets, beat numbering, TSV output.
 
 Behavioural equivalents of the reference utilities
-(reference: beat_this/utils.py:7-102)."""
+(reference: beat_this/utils.py:7-102), reimplemented — beat numbering is
+vectorized (searchsorted + per-measure cumulative counts) instead of the
+reference's per-beat Python loop.
+"""
 
 from __future__ import annotations
 
-from itertools import chain
+import re
+import warnings
 from pathlib import Path
 
 import numpy as np
+
+_AUG_SUFFIX = re.compile(r"^(ps|ts)(-?\d+)$")
+_AUG_NAMES = {"ps": "shift", "ts": "stretch"}
 
 
 def index_to_framewise(index, length: int) -> np.ndarray:
@@ -20,79 +27,83 @@ def index_to_framewise(index, length: int) -> np.ndarray:
 
 
 def filename_to_augmentation(filename) -> dict:
-    """Parse `_psN` / `_tsN` stem suffixes into an augmentation dict
+    """Parse `_psN` / `_tsN` stem suffixes into {"shift": N} / {"stretch": N}
     (reference: beat_this/utils.py:14-23)."""
-    parts = Path(filename).stem.split("_")
     augmentations: dict[str, int] = {}
-    for part in parts[1:]:
-        if part.startswith("ps"):
-            augmentations["shift"] = int(part[2:])
-        elif part.startswith("ts"):
-            augmentations["stretch"] = int(part[2:])
+    for part in Path(filename).stem.split("_")[1:]:
+        m = _AUG_SUFFIX.match(part)
+        if m:
+            augmentations[_AUG_NAMES[m.group(1)]] = int(m.group(2))
     return augmentations
 
 
 def infer_beat_numbers(beats: np.ndarray, downbeats: np.ndarray) -> np.ndarray:
-    """Assign beat counts (1 = downbeat) with a pickup-measure heuristic
-    (reference: beat_this/utils.py:26-76). Requires every downbeat to also be
-    listed as a beat."""
+    """Number each beat within its measure, with 1 at every downbeat.
+
+    Vectorized equivalent of the reference's sequential counter
+    (reference: beat_this/utils.py:26-76): each beat's number is its offset
+    from the preceding downbeat plus one; beats before the first downbeat
+    (a pickup measure) are numbered as if they ended a measure of the same
+    length as the first full measure, falling back to counting from 2 when
+    that length cannot be estimated. Beats after the last downbeat keep
+    counting upward. Every downbeat must also appear in `beats`.
+    """
+    beats = np.asarray(beats)
+    downbeats = np.asarray(downbeats)
     if not np.all(np.isin(downbeats, beats)):
         raise ValueError("Not all downbeats are beats.")
 
-    if len(downbeats) >= 2:
-        first_downbeat, second_downbeat = np.searchsorted(beats, downbeats[:2])
-        beats_in_first_measure = second_downbeat - first_downbeat
-        pickup_beats = first_downbeat
-        if pickup_beats < beats_in_first_measure:
-            start_counter = beats_in_first_measure - pickup_beats
-        else:
-            print(
-                "WARNING: There are more beats in the pickup measure than in "
-                "the first measure. The beat count will start from 2 without "
-                "trying to estimate the length of the pickup measure."
-            )
-            start_counter = 1
-    else:
-        print(
-            "WARNING: There are less than two downbeats in the predictions. "
-            "Something may be wrong. The beat count will start from 2 without "
-            "trying to estimate the length of the pickup measure."
-        )
-        start_counter = 1
+    # measure[i]: how many downbeats lie at or before beat i (0 = pickup)
+    measure = np.searchsorted(downbeats, beats, side="right")
+    # index into `beats` of each downbeat (exact membership checked above)
+    downbeat_idx = np.searchsorted(beats, downbeats)
+    # offset of each beat from the start of its measure (pickup starts at 0)
+    measure_start = np.concatenate(([0], downbeat_idx))[measure]
+    numbers = np.arange(len(beats)) - measure_start + 1
 
-    numbers = []
-    counter = start_counter
-    downbeat_iter = chain(downbeats, [-1])
-    next_downbeat = next(downbeat_iter)
-    for beat in beats:
-        if beat == next_downbeat:
-            counter = 1
-            next_downbeat = next(downbeat_iter)
+    # pickup handling: shift the pre-downbeat counts so the last pickup beat
+    # lands on the first full measure's length
+    pickup_shift = 1
+    if len(downbeats) >= 2:
+        first_measure_len = downbeat_idx[1] - downbeat_idx[0]
+        n_pickup = downbeat_idx[0]
+        if n_pickup < first_measure_len:
+            pickup_shift = first_measure_len - n_pickup
         else:
-            counter += 1
-        numbers.append(counter)
-    return np.asarray(numbers)
+            warnings.warn(
+                "pickup measure is longer than the first full measure; "
+                "numbering its beats from 2 instead of estimating its length"
+            )
+    else:
+        warnings.warn(
+            "fewer than two downbeats detected; numbering any pickup beats "
+            "from 2 instead of estimating the pickup measure's length"
+        )
+    numbers[measure == 0] += pickup_shift
+    return numbers
 
 
 def save_beat_tsv(beats: np.ndarray, downbeats: np.ndarray, outpath) -> None:
-    """Write the standard `.beats` TSV: `time<TAB>beat_number`
-    (reference: beat_this/utils.py:79-102)."""
+    """Write the standard `.beats` TSV, one `time<TAB>beat_number` row per
+    beat (reference: beat_this/utils.py:79-102). The file is staged next to
+    its destination and renamed into place, so an interrupted run never
+    leaves a truncated output behind."""
     numbers = infer_beat_numbers(beats, downbeats)
     outpath = Path(outpath)
     outpath.parent.mkdir(parents=True, exist_ok=True)
+    rows = "".join(f"{time}\t{number}\n" for time, number in zip(beats, numbers))
+    staging = outpath.with_name(outpath.name + ".part")
     try:
-        with open(outpath, "w") as f:
-            f.writelines(f"{beat}\t{number}\n" for beat, number in zip(beats, numbers))
-    except KeyboardInterrupt:
-        outpath.unlink()  # avoid half-written files
-        raise
+        staging.write_text(rows)
+        staging.replace(outpath)
+    finally:
+        staging.unlink(missing_ok=True)
 
 
 def replace_state_dict_key(state_dict: dict, old: str, new: str) -> dict:
-    """Replace `old` with `new` in all keys (reference:
-    beat_this/utils.py:105-111)."""
-    keys = list(state_dict.keys())
-    for key in keys:
-        if old in key:
-            state_dict[key.replace(old, new)] = state_dict.pop(key)
+    """Rewrite `old` -> `new` inside every key, in place (matching the
+    reference helper's mutate-and-return contract, beat_this/utils.py:105-111).
+    """
+    for key in [k for k in state_dict if old in k]:
+        state_dict[key.replace(old, new)] = state_dict.pop(key)
     return state_dict

@@ -10,9 +10,9 @@ dependencies = ["jax", "numpy"]
 from beat_this_tpu.inference import (  # noqa: F401, E402
     Audio2Beats,
     Audio2Frames,
+    BeatThis,
     File2Beats,
     File2File,
     Spect2Frames,
     load_model as beat_this,
 )
-from beat_this_tpu.model import BeatThisConfig as BeatThis  # noqa: F401, E402
