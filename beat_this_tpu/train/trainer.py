@@ -109,6 +109,18 @@ class Trainer:
         self.log_file = Path(log_file) if log_file else None
         self.history: list[dict] = []
         self.wandb_run = None
+        self._eval_step_fn = None
+
+    @property
+    def eval_step(self):
+        """The jitted eval step, built once — a fresh `jax.jit` wrapper per
+        validation epoch would discard XLA's compilation cache and recompile
+        every time."""
+        if self._eval_step_fn is None:
+            self._eval_step_fn = jax.jit(
+                make_eval_step(self.model_config, self.tc)
+            )
+        return self._eval_step_fn
 
     def init_wandb(self, project="beat_this_tpu", name=None, resume_id=None):
         """Optional Weights & Biases logging (counterpart of the reference's
@@ -294,7 +306,7 @@ class Trainer:
         return ts
 
     def validate(self, ts: TrainState, epoch: int):
-        eval_step = jax.jit(make_eval_step(self.model_config, self.tc))
+        eval_step = self.eval_step
         all_losses, all_metrics = [], []
         for batch in self.dm.val_batches():
             arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}

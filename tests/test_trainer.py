@@ -76,3 +76,17 @@ def test_checkpoint_loadable_by_inference(trainer, corpus):
     beat, downbeat = s2f(spect)
     assert beat.shape == (200,)
     assert np.all(np.isfinite(beat))
+
+
+def test_eval_step_is_cached_across_validations(trainer):
+    """A second validation epoch must not rebuild or recompile the eval step
+    (the jitted callable is constructed once and reused)."""
+    step_a = trainer.eval_step
+    step_b = trainer.eval_step
+    assert step_a is step_b
+    ts = trainer.fit(max_steps_override=1)
+    trainer.validate(ts, epoch=98)
+    n_compiles = step_a._cache_size()
+    assert n_compiles > 0
+    trainer.validate(ts, epoch=99)
+    assert step_a._cache_size() == n_compiles
