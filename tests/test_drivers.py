@@ -78,14 +78,14 @@ def test_preprocess_pipeline(raw_corpus, monkeypatch):
     assert "song0/track" in m and "song0/track_ps1" in m
 
 
-def _make_ckpt(tmp_path, dm_hparams):
+def _make_ckpt(tmp_path, dm_hparams, name="eval.ckpt", seed=0):
     import torch
 
     from beat_this_tpu.io.torch_ckpt import pytree_to_torch_state_dict
     from beat_this_tpu.model import BeatThisConfig, init_beat_this
 
     cfg = BeatThisConfig(transformer_dim=64, n_layers=1)
-    params, state = init_beat_this(0, cfg)
+    params, state = init_beat_this(seed, cfg)
     sd = pytree_to_torch_state_dict(params, state)
     ckpt = {
         "state_dict": {
@@ -97,7 +97,7 @@ def _make_ckpt(tmp_path, dm_hparams):
         "datamodule_hyper_parameters": dm_hparams,
         "pytorch-lightning_version": "2.0.0",
     }
-    path = tmp_path / "eval.ckpt"
+    path = tmp_path / name
     torch.save(ckpt, path)
     return path
 
@@ -143,3 +143,103 @@ def test_clean_checkpoints(tmp_path):
     assert "beat_this_tpu" not in cleaned
     assert "data_dir" not in cleaned["datamodule_hyper_parameters"]
     assert "state_dict" in cleaned
+
+
+def test_compute_paper_metrics_mean_std(tmp_path, capsys):
+    """Two checkpoints aggregated as mean ± std over seeds (reference
+    compute_paper_metrics.py:59-98)."""
+    pytest.importorskip("torch")
+    from tests.test_dataset import AUGS, make_corpus
+
+    root = tmp_path / "data"
+    root.mkdir()
+    make_corpus(root, n_pieces=3, frames=280, dataset="alpha",
+                augmentations=AUGS)
+    dm_hparams = {"batch_size": 2, "test_dataset": "gtzan",
+                  "augmentations": AUGS}
+    ckpts = [
+        str(_make_ckpt(tmp_path, dm_hparams, name=f"seed{s}.ckpt", seed=s))
+        for s in (0, 1)
+    ]
+
+    import compute_paper_metrics as cpm
+
+    args = cpm.get_parser().parse_args(
+        ["--models", *ckpts, "--datasplit", "val", "--data-dir", str(root),
+         "--aggregation-type", "mean-std"]
+    )
+    cpm.main(args)
+    out = capsys.readouterr().out
+    assert "+-" in out
+    assert "F-measure_beat" in out and "AMLt_downbeat" in out
+
+
+def test_compute_paper_metrics_kfold(tmp_path, capsys):
+    """Two fold checkpoints: per-fold val pieces are concatenated, the
+    duplicate-piece assertion holds, and predictions dump for all pieces
+    (reference compute_paper_metrics.py:99-156)."""
+    pytest.importorskip("torch")
+    from tests.test_dataset import AUGS, make_corpus
+
+    root = tmp_path / "data"
+    root.mkdir()
+    make_corpus(root, n_pieces=4, frames=280, dataset="alpha",
+                augmentations=AUGS, split="folds")
+    ckpts = [
+        str(
+            _make_ckpt(
+                tmp_path,
+                {"batch_size": 2, "test_dataset": "gtzan", "fold": fold,
+                 "augmentations": AUGS},
+                name=f"fold{fold}.ckpt",
+                seed=fold,
+            )
+        )
+        for fold in (0, 1)
+    ]
+    dump = tmp_path / "kfold_preds.npz"
+
+    import compute_paper_metrics as cpm
+
+    args = cpm.get_parser().parse_args(
+        ["--models", *ckpts, "--datasplit", "val", "--data-dir", str(root),
+         "--aggregation-type", "k-fold", "--dump-predictions", str(dump)]
+    )
+    cpm.main(args)
+    out = capsys.readouterr().out
+    assert "alpha:" in out
+    preds = np.load(dump)
+    # every piece appears exactly once across the two folds
+    assert len(preds.files) == 4
+    for name in preds.files:
+        rows = preds[name]
+        assert rows.ndim == 2 and rows.shape[1] == 2
+        assert np.all(np.diff(rows[:, 0]) > 0)  # times strictly increasing
+        assert np.all(rows[:, 1] >= 1)  # beat numbers start at 1
+
+
+def test_compute_paper_metrics_kfold_rejects_duplicates(tmp_path):
+    """The same fold twice must trip the repeated-pieces assertion
+    (reference compute_paper_metrics.py:135-137)."""
+    pytest.importorskip("torch")
+    from tests.test_dataset import AUGS, make_corpus
+
+    root = tmp_path / "data"
+    root.mkdir()
+    make_corpus(root, n_pieces=4, frames=280, dataset="alpha",
+                augmentations=AUGS, split="folds")
+    dm_hparams = {"batch_size": 2, "test_dataset": "gtzan", "fold": 0,
+                  "augmentations": AUGS}
+    ckpts = [
+        str(_make_ckpt(tmp_path, dm_hparams, name=f"dup{i}.ckpt", seed=i))
+        for i in (0, 1)
+    ]
+
+    import compute_paper_metrics as cpm
+
+    args = cpm.get_parser().parse_args(
+        ["--models", *ckpts, "--datasplit", "val", "--data-dir", str(root),
+         "--aggregation-type", "k-fold"]
+    )
+    with pytest.raises(AssertionError, match="repeated pieces"):
+        cpm.main(args)
