@@ -159,23 +159,26 @@ def attention_block(
             rope_cos=cos,
             rope_sin=sin,
         ).reshape(b, heads, n, head_dim)
-    elif (
-        key_mask is None
-        and rng is None
-        and n <= 32
-        and 128 % n == 0
-        and _flash_enabled()
-    ):
+    elif key_mask is None and n <= 32 and 128 % n == 0 and _flash_enabled():
         # frequency-axis attention: thousands of tiny independent problems;
         # the packed block-diagonal kernel keeps probabilities in VMEM
+        # (training too: custom VJP + in-kernel seeded dropout)
         from beat_this_tpu.ops.small_attention import small_attention
 
+        rate = dropout_rate if rng_attn is not None else 0.0
+        seed = (
+            jax.random.randint(rng_attn, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+            if rate > 0.0
+            else None
+        )
         out = small_attention(
             q.reshape(b * heads, n, head_dim),
             k.reshape(b * heads, n, head_dim),
             v.reshape(b * heads, n, head_dim),
             rope_cos=cos,
             rope_sin=sin,
+            dropout_rate=rate,
+            seed=seed,
         ).reshape(b, heads, n, head_dim)
     else:
         q = apply_rope(q, cos, sin)

@@ -83,21 +83,28 @@ def rope_rotate_inv(x, cos, sin):
     return x * cos - rotated
 
 
-def _masked_scores(q, k_ref, cos_ref, sin_ref, kb, block_k, kv_len):
-    """q (block_q, d) float32 (pre-scaled, rotated) x rotated k block ->
-    masked (bq, bk) f32 scores."""
+def _rotated(ref, cos_ref, sin_ref, sl):
+    """Load a (block, d) slice, apply RoPE in float32, return in the ref's
+    dtype — bfloat16 inputs stay bfloat16 so the MXU dots run at full rate
+    (float32 matmuls are ~4x slower; accumulation stays float32 via
+    preferred_element_type)."""
+    x = ref[0, sl, :]
+    return rope_rotate(
+        x.astype(jnp.float32), cos_ref[0, sl, :], sin_ref[0, sl, :]
+    ).astype(x.dtype)
+
+
+def _masked_scores(q, k_ref, cos_ref, sin_ref, kb, block_k, kv_len, scale):
+    """Rotated q (block_q, d) x rotated k block -> masked (bq, bk) f32
+    scores. The 1/sqrt(d) scale is applied after the dot, in float32,
+    matching the XLA sdpa path."""
     block_q = q.shape[0]
-    k = k_ref[0, kb * block_k : (kb + 1) * block_k, :].astype(jnp.float32)
-    k = rope_rotate(
-        k,
-        cos_ref[0, kb * block_k : (kb + 1) * block_k, :],
-        sin_ref[0, kb * block_k : (kb + 1) * block_k, :],
-    )
+    k = _rotated(k_ref, cos_ref, sin_ref, pl.ds(kb * block_k, block_k))
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) * scale
     col = kb * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 1
     )
@@ -126,9 +133,11 @@ def _q_tables(cos_ref, sin_ref, block_q):
 
 def _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref,
                     lse_ref, *, kv_len, block_k, scale, rate):
-    q = q_ref[0].astype(jnp.float32)  # (block_q, d)
-    block_q, d = q.shape
-    q = rope_rotate(q, *_q_tables(cos_ref, sin_ref, block_q)) * scale
+    q_raw = q_ref[0]  # (block_q, d)
+    block_q, d = q_raw.shape
+    q = rope_rotate(
+        q_raw.astype(jnp.float32), *_q_tables(cos_ref, sin_ref, block_q)
+    ).astype(q_raw.dtype)
     kv_pad = k_ref.shape[1]
     num_kb = kv_pad // block_k
 
@@ -138,7 +147,8 @@ def _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref,
 
     for kb in range(num_kb):
         v = v_ref[0, kb * block_k : (kb + 1) * block_k, :]
-        s = _masked_scores(q, k_ref, cos_ref, sin_ref, kb, block_k, kv_len)
+        s = _masked_scores(q, k_ref, cos_ref, sin_ref, kb, block_k, kv_len,
+                           scale)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
@@ -166,23 +176,23 @@ def _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref,
 def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
                      do_ref, lse_ref, delta_ref, dq_ref, *, kv_len, block_k,
                      scale, rate):
-    q = q_ref[0].astype(jnp.float32)
-    block_q, d = q.shape
+    q_raw = q_ref[0]
+    block_q, d = q_raw.shape
     q_cos, q_sin = _q_tables(cos_ref, sin_ref, block_q)
-    q = rope_rotate(q, q_cos, q_sin) * scale
-    do = do_ref[0].astype(jnp.float32)
+    q = rope_rotate(q_raw.astype(jnp.float32), q_cos, q_sin).astype(
+        q_raw.dtype
+    )
+    do = do_ref[0]
     lse = lse_ref[0, :, :]  # (block_q, 1)
     delta = delta_ref[0, :, :]
     num_kb = k_ref.shape[1] // block_k
     dq = jnp.zeros((block_q, d), jnp.float32)
     for kb in range(num_kb):
         ksl = pl.ds(kb * block_k, block_k)
-        k = rope_rotate(
-            k_ref[0, ksl, :].astype(jnp.float32),
-            cos_ref[0, ksl, :], sin_ref[0, ksl, :],
-        )
-        v = v_ref[0, ksl, :].astype(jnp.float32)
-        s = _masked_scores(q, k_ref, cos_ref, sin_ref, kb, block_k, kv_len)
+        k = _rotated(k_ref, cos_ref, sin_ref, ksl)
+        v = v_ref[0, ksl, :]
+        s = _masked_scores(q, k_ref, cos_ref, sin_ref, kb, block_k, kv_len,
+                           scale)
         p = jnp.exp(s - lse)  # masked cols -> exp(-inf) = 0
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -194,7 +204,7 @@ def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
             )
         ds = p * (dp - delta)
         dq = dq + jax.lax.dot_general(
-            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            ds.astype(q.dtype), k, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     # pull the gradient back through the rotation (transpose = inverse)
@@ -208,24 +218,24 @@ def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
     kb = pl.program_id(1)
     k_cos = cos_ref[0, pl.ds(kb * block_k, block_k), :]
     k_sin = sin_ref[0, pl.ds(kb * block_k, block_k), :]
-    k = rope_rotate(k_ref[0].astype(jnp.float32), k_cos, k_sin)
-    v = v_ref[0].astype(jnp.float32)
+    k_raw = k_ref[0]
+    k = rope_rotate(k_raw.astype(jnp.float32), k_cos, k_sin).astype(
+        k_raw.dtype
+    )
+    v = v_ref[0]
     num_qb = q_ref.shape[1] // block_q
     dk = jnp.zeros((block_k, d), jnp.float32)
     dv = jnp.zeros((block_k, d), jnp.float32)
     for qb in range(num_qb):
         qsl = pl.ds(qb * block_q, block_q)
-        q = rope_rotate(
-            q_ref[0, qsl, :].astype(jnp.float32),
-            cos_ref[0, qsl, :], sin_ref[0, qsl, :],
-        )
-        do = do_ref[0, qb * block_q : (qb + 1) * block_q, :].astype(jnp.float32)
-        lse = lse_ref[0, qb * block_q : (qb + 1) * block_q, :]
-        delta = delta_ref[0, qb * block_q : (qb + 1) * block_q, :]
+        q = _rotated(q_ref, cos_ref, sin_ref, qsl)
+        do = do_ref[0, qsl, :]
+        lse = lse_ref[0, qsl, :]
+        delta = delta_ref[0, qsl, :]
         s = jax.lax.dot_general(
-            q * scale, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (block_q, block_k)
+        ) * scale  # (block_q, block_k)
         # padded q rows have do == 0 and delta == 0, so they contribute 0;
         # padded k rows produce dk/dv that are sliced away by the caller
         p = jnp.exp(s - lse)
@@ -238,7 +248,8 @@ def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
         else:
             p_dropped = p
         dv = dv + jax.lax.dot_general(
-            p_dropped, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            p_dropped.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
@@ -249,7 +260,7 @@ def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
             dp = dp * mask
         ds = p * (dp - delta)
         dk = dk + jax.lax.dot_general(
-            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     dk_ref[0] = (rope_rotate_inv(dk, k_cos, k_sin) * scale).astype(dk_ref.dtype)

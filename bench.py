@@ -14,9 +14,56 @@ its per-chunk batch-1 GPU loop is the design being replaced.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def bench_train_step(config):
+    """Seconds per optimizer step (bs 8 x accum 8, 1500-frame crops, bf16) —
+    the reference's training configuration (train.py:118-129). Returns None
+    on any failure so the headline inference metric still prints."""
+    import jax
+    import jax.numpy as jnp
+
+    from beat_this_tpu.model import init_beat_this
+    from beat_this_tpu.train.task import (
+        TrainConfig,
+        init_train_state,
+        make_train_step,
+    )
+
+    tc = TrainConfig(max_steps=100, accum_steps=8, compute_dtype="bfloat16")
+    params, bn_state = init_beat_this(0, config)
+    ts = init_train_state(params, bn_state, tc)
+    micro, t = 8, 1500
+    rng = np.random.RandomState(1)
+    batch = {
+        "spect": jnp.asarray(
+            rng.randn(tc.accum_steps, micro, t, 128), jnp.float32
+        ),
+        "truth_beat": jnp.asarray(
+            rng.rand(tc.accum_steps, micro, t) < 0.1, jnp.float32
+        ),
+        "truth_downbeat": jnp.asarray(
+            rng.rand(tc.accum_steps, micro, t) < 0.03, jnp.float32
+        ),
+        "padding_mask": jnp.ones((tc.accum_steps, micro, t), jnp.float32),
+        "downbeat_mask": jnp.ones((tc.accum_steps, micro), jnp.float32),
+    }
+    step = jax.jit(make_train_step(config, tc))
+    key = jax.random.PRNGKey(0)
+    ts, parts = step(ts, batch, key)  # compile
+    jax.device_get(parts["total"])
+    ts, parts = step(ts, batch, key)  # warm
+    jax.device_get(parts["total"])
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        ts, parts = step(ts, batch, jax.random.fold_in(key, i))
+    jax.device_get(parts["total"])
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -65,16 +112,24 @@ def main():
     # overlapped inference scheme
     audio_seconds = iters * scan_len * batch * (chunk - 2 * border) / fps
     value = audio_seconds / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "audio_sec_per_sec_per_chip",
-                "value": round(value, 1),
-                "unit": "x_realtime",
-                "vs_baseline": round(value / 2000.0, 3),
-            }
-        )
-    )
+
+    record = {
+        "metric": "audio_sec_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(value / 2000.0, 3),
+    }
+    # training-step capture (reference config: bs 8 x accum 8 = effective 64
+    # crops of 1500 frames per optimizer step); optional so a failure cannot
+    # take down the headline metric, skippable for a quick inference-only run
+    if not os.environ.get("BEAT_THIS_BENCH_NO_TRAIN"):
+        try:
+            step_s = bench_train_step(config)
+            record["train_step_s"] = round(step_s, 3)
+            record["train_x_realtime"] = round(64 * chunk / fps / step_s, 1)
+        except Exception as exc:  # pragma: no cover
+            record["train_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
