@@ -34,8 +34,13 @@ except Exception:  # pragma: no cover
     pltpu = None
     _MEMORY_SPACE = None
 
-DEFAULT_BLOCK_Q = 512  # best of a measured sweep at 1500-frame sequences
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_Q = 1536  # best of a measured sweep at 1500-frame sequences
+DEFAULT_BLOCK_K = 768  # (both are clamped to the padded sequence length)
+
+LOG2E = 1.4426950408889634  # softmax runs in base 2: one fused scale
+# multiply replaces the separate 1/sqrt(d) scale and the ln->log2
+# conversion inside exp (the kernel is VPU-bound at head_dim 32, so
+# per-score-element ops are what count)
 
 
 def _dropout_mask(seed_ref, bh, qb, kb, shape, rate):
@@ -94,21 +99,26 @@ def _rotated(ref, cos_ref, sin_ref, sl):
     ).astype(x.dtype)
 
 
-def _masked_scores(q, k_ref, cos_ref, sin_ref, kb, block_k, kv_len, scale):
-    """Rotated q (block_q, d) x rotated k block -> masked (bq, bk) f32
-    scores. The 1/sqrt(d) scale is applied after the dot, in float32,
-    matching the XLA sdpa path."""
+def _masked_scores(q, k_ref, cos_ref, sin_ref, kb, block_k, kv_len):
+    """Pre-scaled rotated q (block_q, d) x rotated k block -> masked
+    (bq, bk) f32 scores in BASE-2 units. The scale * log2(e) factor is
+    folded into q (a (bq, d)-sized multiply) instead of the (bq, bk) score
+    matrix, and masking of the key padding runs only on the one block that
+    contains it (static decision — the k loop is unrolled): the kernel is
+    VPU-bound at head_dim 32, so per-score-element ops are what count."""
     block_q = q.shape[0]
     k = _rotated(k_ref, cos_ref, sin_ref, pl.ds(kb * block_k, block_k))
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
-    col = kb * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 1
     )
-    return jnp.where(col < kv_len, s, -jnp.inf)
+    if (kb + 1) * block_k > kv_len:  # this block contains key padding
+        col = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        s = jnp.where(col < kv_len, s, -jnp.inf)
+    return s
 
 
 def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
@@ -135,8 +145,11 @@ def _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref,
                     lse_ref, *, kv_len, block_k, scale, rate):
     q_raw = q_ref[0]  # (block_q, d)
     block_q, d = q_raw.shape
-    q = rope_rotate(
-        q_raw.astype(jnp.float32), *_q_tables(cos_ref, sin_ref, block_q)
+    q = (
+        rope_rotate(
+            q_raw.astype(jnp.float32), *_q_tables(cos_ref, sin_ref, block_q)
+        )
+        * (scale * LOG2E)  # folded scale: scores come out in base-2 units
     ).astype(q_raw.dtype)
     kv_pad = k_ref.shape[1]
     num_kb = kv_pad // block_k
@@ -147,11 +160,10 @@ def _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref,
 
     for kb in range(num_kb):
         v = v_ref[0, kb * block_k : (kb + 1) * block_k, :]
-        s = _masked_scores(q, k_ref, cos_ref, sin_ref, kb, block_k, kv_len,
-                           scale)
+        s = _masked_scores(q, k_ref, cos_ref, sin_ref, kb, block_k, kv_len)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)  # == exp(s_nat - m_nat): same values
+        corr = jnp.exp2(m - m_new)
         # the softmax normalizer uses undropped probabilities (dropout is
         # applied after the softmax, torch semantics)
         l = l * corr + jnp.sum(p, axis=1, keepdims=True)
@@ -168,9 +180,10 @@ def _flash_fwd_body(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref,
 
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     if lse_ref is not None:
-        # lse layout (bh, n_pad, 1): trailing singleton keeps the block
-        # shape legal for the TPU tiling rules
-        lse_ref[0, :, 0] = (m + jnp.log(l))[:, 0]
+        # base-2 log-sum-exp (the backward kernels recompute p as
+        # exp2(s - lse)); layout (bh, n_pad, 1): trailing singleton keeps
+        # the block shape legal for the TPU tiling rules
+        lse_ref[0, :, 0] = (m + jnp.log2(l))[:, 0]
 
 
 def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
@@ -179,9 +192,10 @@ def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
     q_raw = q_ref[0]
     block_q, d = q_raw.shape
     q_cos, q_sin = _q_tables(cos_ref, sin_ref, block_q)
-    q = rope_rotate(q_raw.astype(jnp.float32), q_cos, q_sin).astype(
-        q_raw.dtype
-    )
+    q = (
+        rope_rotate(q_raw.astype(jnp.float32), q_cos, q_sin)
+        * (scale * LOG2E)  # folded scale, matching the forward's s units
+    ).astype(q_raw.dtype)
     do = do_ref[0]
     lse = lse_ref[0, :, :]  # (block_q, 1)
     delta = delta_ref[0, :, :]
@@ -191,9 +205,8 @@ def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
         ksl = pl.ds(kb * block_k, block_k)
         k = _rotated(k_ref, cos_ref, sin_ref, ksl)
         v = v_ref[0, ksl, :]
-        s = _masked_scores(q, k_ref, cos_ref, sin_ref, kb, block_k, kv_len,
-                           scale)
-        p = jnp.exp(s - lse)  # masked cols -> exp(-inf) = 0
+        s = _masked_scores(q, k_ref, cos_ref, sin_ref, kb, block_k, kv_len)
+        p = jnp.exp2(s - lse)  # masked cols -> exp2(-inf) = 0
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -219,9 +232,11 @@ def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
     k_cos = cos_ref[0, pl.ds(kb * block_k, block_k), :]
     k_sin = sin_ref[0, pl.ds(kb * block_k, block_k), :]
     k_raw = k_ref[0]
-    k = rope_rotate(k_raw.astype(jnp.float32), k_cos, k_sin).astype(
-        k_raw.dtype
-    )
+    # the scale * log2(e) factor is folded into THIS kernel's k (so q stays
+    # unscaled for the dk pullback below); scores match the forward's units
+    k = (
+        rope_rotate(k_raw.astype(jnp.float32), k_cos, k_sin) * (scale * LOG2E)
+    ).astype(k_raw.dtype)
     v = v_ref[0]
     num_qb = q_ref.shape[1] // block_q
     dk = jnp.zeros((block_k, d), jnp.float32)
@@ -235,10 +250,10 @@ def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (block_q, block_k)
+        )  # (block_q, block_k), base-2 units like lse (scale folded into k)
         # padded q rows have do == 0 and delta == 0, so they contribute 0;
         # padded k rows produce dk/dv that are sliced away by the caller
-        p = jnp.exp(s - lse)
+        p = jnp.exp2(s - lse)
         if rate > 0.0:
             mask = _dropout_mask(
                 seed_ref, pl.program_id(0), qb, pl.program_id(1),
@@ -299,6 +314,7 @@ def _flash_forward(q, k, v, seed, cos, sin, block_q, block_k, interpret, rate,
                    need_lse):
     bh, n, d = q.shape
     scale = d**-0.5
+    block_q = min(block_q, -(-n // 128) * 128)
     n_q_pad = -(-n // block_q) * block_q
     block_k = min(block_k, -(-n // 128) * 128)
     n_k_pad = -(-n // block_k) * block_k
@@ -357,8 +373,13 @@ def _flash_backward(q, k, v, o, lse_pad, do, seed, cos, sin, block_q,
                     block_k, interpret, rate):
     bh, n, d = q.shape
     scale = d**-0.5
+    # the backward kernels hold several (block_q, block_k) float32
+    # intermediates (s, p, dp, plus the regenerated dropout mask) at once;
+    # the forward's large blocks exceed the ~16 MB VMEM budget there, so
+    # cap the backward at 512 regardless of the forward block choice
+    block_q = min(block_q, 512, -(-n // 128) * 128)
+    block_k = min(block_k, 512, -(-n // 128) * 128)
     n_q_pad = -(-n // block_q) * block_q
-    block_k = min(block_k, -(-n // 128) * 128)
     n_k_pad = -(-n // block_k) * block_k
     n_tab = max(n_q_pad, n_k_pad)
     kwargs = _specs(interpret)
@@ -371,6 +392,9 @@ def _flash_backward(q, k, v, o, lse_pad, do, seed, cos, sin, block_q,
     qp, kp, vp = _pad_seq(q, n_q_pad), _pad_seq(k, n_k_pad), _pad_seq(v, n_k_pad)
     dop = _pad_seq(do.astype(q.dtype), n_q_pad)
     deltap = jnp.pad(delta, ((0, 0), (0, n_q_pad - n)))[..., None]
+    # the forward may have used a different q padding (its blocks are
+    # larger); re-pad the saved lse to this pass's layout
+    lse_pad = _pad_seq(lse_pad[:, :n, :], n_q_pad)
 
     q_spec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **kwargs)
     q_full = pl.BlockSpec((1, n_q_pad, d), lambda b, i: (b, 0, 0), **kwargs)

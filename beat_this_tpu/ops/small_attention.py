@@ -58,24 +58,27 @@ def _same_item_mask(f):
     return row_item == col_item
 
 
-def _packed_probs(q, k, same, scale):
-    """Block-diagonal softmax probabilities for one (128, d) pack. `q` and
-    `k` are already rotated and in the input dtype (bfloat16 dots run at
-    full MXU rate); scale and softmax are float32, as in the XLA path."""
+def _packed_exp(q, k, same):
+    """Unnormalized block-diagonal softmax numerator for one (128, d) pack:
+    exp2(s - rowmax) and the row sums. `q` is rotated AND pre-multiplied by
+    scale * log2(e) (base-2 softmax, one multiply on the (rows, d) operand
+    instead of the (rows, rows) scores — the kernel is VPU-bound); `k` is
+    rotated, both in the input dtype so the MXU dots run at full rate."""
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
     s = jnp.where(same, s, -jnp.inf)
-    s = s - jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s)
-    return e / jnp.sum(e, axis=1, keepdims=True)
+    e = jnp.exp2(s - jnp.max(s, axis=1, keepdims=True))
+    return e, jnp.sum(e, axis=1, keepdims=True)
 
 
 def _small_attn_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
                        o_ref, *, f, scale, packs, rate):
     from beat_this_tpu.ops.flash_attention import rope_rotate
+
+    from beat_this_tpu.ops.flash_attention import LOG2E
 
     same = _same_item_mask(f)
     cos = cos_ref[:, :]
@@ -83,18 +86,24 @@ def _small_attn_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
     for p in range(packs):
         sl = pl.ds(p * _PACK_ROWS, _PACK_ROWS)
         dtype = q_ref.dtype
-        q = rope_rotate(q_ref[sl, :].astype(jnp.float32), cos, sin).astype(dtype)
+        q = (
+            rope_rotate(q_ref[sl, :].astype(jnp.float32), cos, sin)
+            * (scale * LOG2E)
+        ).astype(dtype)
         k = rope_rotate(k_ref[sl, :].astype(jnp.float32), cos, sin).astype(dtype)
         v = v_ref[sl, :]
-        probs = _packed_probs(q, k, same, scale)
+        e, l = _packed_exp(q, k, same)
         if rate > 0.0:
-            probs = probs * _dropout_mask(
-                seed_ref, pl.program_id(0), p, probs.shape, rate
+            e = e * _dropout_mask(seed_ref, pl.program_id(0), p, e.shape, rate)
+        # normalization deferred past the PV dot: divides (rows, d) instead
+        # of the (rows, 128) probabilities
+        o_ref[sl, :] = (
+            jax.lax.dot_general(
+                e.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-        o_ref[sl, :] = jax.lax.dot_general(
-            probs.astype(v.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            / l
         ).astype(o_ref.dtype)
 
 
@@ -103,17 +112,22 @@ def _small_attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
                            rate):
     from beat_this_tpu.ops.flash_attention import rope_rotate, rope_rotate_inv
 
+    from beat_this_tpu.ops.flash_attention import LOG2E
+
     same = _same_item_mask(f)
     cos = cos_ref[:, :]
     sin = sin_ref[:, :]
     for p in range(packs):
         sl = pl.ds(p * _PACK_ROWS, _PACK_ROWS)
         dtype = q_ref.dtype
-        q = rope_rotate(q_ref[sl, :].astype(jnp.float32), cos, sin).astype(dtype)
+        q_rot = rope_rotate(q_ref[sl, :].astype(jnp.float32), cos, sin)
+        q = q_rot.astype(dtype)  # unscaled: dk pullback operand
+        q_s2 = (q_rot * (scale * LOG2E)).astype(dtype)  # scaled: for scores
         k = rope_rotate(k_ref[sl, :].astype(jnp.float32), cos, sin).astype(dtype)
         v = v_ref[sl, :]
         do = do_ref[sl, :]
-        probs = _packed_probs(q, k, same, scale)  # recomputed, never stored
+        e, l = _packed_exp(q_s2, k, same)  # recomputed, never stored
+        probs = e / l
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,

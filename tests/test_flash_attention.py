@@ -101,3 +101,35 @@ def test_bfloat16(n=200):
                           interpret=True).astype(jnp.float32)
     diff = np.max(np.abs(np.asarray(out) - np.asarray(ref)))
     assert diff < 0.05
+
+
+def test_default_blocks_mismatched_bwd_padding():
+    """The forward's default blocks are larger than the backward's cap; at
+    n=768 they produce different q paddings (768 vs 1024), exercising the
+    lse re-pad in _flash_backward."""
+    import jax
+
+    rng = np.random.RandomState(3)
+    n = 768
+    q = jnp.asarray(rng.randn(1, n, 32), jnp.float32)
+    k = jnp.asarray(rng.randn(1, n, 32), jnp.float32)
+    v = jnp.asarray(rng.randn(1, n, 32), jnp.float32)
+    cot = jnp.asarray(rng.randn(1, n, 32), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, interpret=True) * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa(q, k, v) * cot)
+
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(sdpa(q, k, v)), atol=2e-5
+    )
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3,
+            err_msg=f"grad mismatch for {name}",
+        )

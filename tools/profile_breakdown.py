@@ -155,11 +155,47 @@ def main():
         h = rms_norm(h, params["transformer"]["norm_gamma"])
         return h[:, 0, 0]
 
+    def convs_only(params, state, x):
+        # stem + 3 convs + BN + GELU + projection (no transformers at all)
+        b, t, f = x.shape
+        h, _ = batch_norm_apply(
+            _merged_bn(params["stem"]["bn1d"], state["stem"]["bn1d"]), x, axis=-1
+        )
+        h = h.astype(jnp.bfloat16)[..., None]
+        h = conv2d_tf(params["stem"]["conv"]["w"], h, stride_freq=4, pad_time=1)
+        h, _ = batch_norm_apply(
+            _merged_bn(params["stem"]["bn2d"], state["stem"]["bn2d"]), h, axis=-1
+        )
+        h = jax.nn.gelu(h, approximate=False)
+        for i, block in enumerate(params["blocks"]):
+            h = conv2d_tf(block["conv"]["w"], h, stride_freq=2, pad_time=1)
+            h, _ = batch_norm_apply(
+                _merged_bn(block["bn"], state["blocks"][i]["bn"]), h, axis=-1
+            )
+            h = jax.nn.gelu(h, approximate=False)
+        h = jnp.swapaxes(h, 2, 3).reshape(b, t, -1)
+        h = h @ params["linear"]["w"].astype(h.dtype) + params["linear"][
+            "b"
+        ].astype(h.dtype)
+        return h[:, 0, 0]
+
+    def transformer_ff_only(params, state, x):
+        # 6 x fused_ff at dim 512 (no attention)
+        b, t, f = x.shape
+        h = x.astype(jnp.bfloat16) @ jnp.ones(
+            (f, config.transformer_dim), jnp.bfloat16
+        )
+        for layer in params["transformer"]["layers"]:
+            h = ff_residual(layer["ff"], h)
+        return h[:, 0, 0]
+
     bodies = {
         "full": full,
         "frontend": frontend_only,
         "frontend_freq_only": frontend_freq_only,
+        "convs_only": convs_only,
         "transformer6": transformer_only,
+        "transformer_ff_only": transformer_ff_only,
     }
 
     rng = np.random.RandomState(0)
