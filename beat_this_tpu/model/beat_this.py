@@ -34,6 +34,7 @@ from beat_this_tpu.model.layers import (
     conv2d_tf,
     feed_forward,
     ff_residual,
+    freq_roformer,
     rms_norm,
 )
 from beat_this_tpu.ops.rotary import rope_tables
@@ -323,13 +324,18 @@ def apply_beat_this(
             rope_freq = rope_tables(n_freq, c.head_dim)
             # frequency-axis roformer: (B, T, F, C) -> (B*T, F, C), no transpose
             hf = h.reshape(b * t, n_freq, dim)
-            hf = hf + attention_fn(
-                p["attnF"], hf, rope_freq, heads,
-                dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1),
-            )
-            hf = ff_res(
-                p["ffF"], hf, dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1)
-            )
+            if not train:
+                # eval: the whole freq block is one fused Pallas kernel on TPU
+                hf = freq_roformer(p["attnF"], p["ffF"], hf, rope_freq, heads)
+            else:
+                hf = hf + attention_fn(
+                    p["attnF"], hf, rope_freq, heads,
+                    dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1),
+                )
+                hf = ff_res(
+                    p["ffF"], hf, dropout_rate=drop_f,
+                    rng=next_rng(rng_i := rng_i + 1),
+                )
             # time-axis roformer: -> (B*F, T, C)
             ht = hf.reshape(b, t, n_freq, dim).transpose(0, 2, 1, 3)
             ht = ht.reshape(b * n_freq, t, dim)

@@ -236,6 +236,36 @@ def ff_residual(
     return x + feed_forward(params, x, dropout_rate=dropout_rate, rng=rng)
 
 
+def freq_roformer(
+    attn_params: dict,
+    ff_params: dict,
+    x: jnp.ndarray,
+    rope: tuple[jnp.ndarray, jnp.ndarray],
+    heads: int,
+    *,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """One frequency-axis roformer block on (items, F, C):
+    `x + attention; + feed_forward`. On the no-dropout TPU path the whole
+    block (norm, qkv, RoPE, packed attention, gates, out projection,
+    residual, FF) runs as ONE Pallas kernel (`ops/fused_freq.py`) — the
+    frequency path is HBM-bound, and the fusion reads/writes each activation
+    row once instead of ~12 times."""
+    f = x.shape[1]
+    if rng is None and f <= 32 and 128 % f == 0 and _flash_enabled():
+        from beat_this_tpu.ops.fused_freq import fused_freq_roformer
+
+        return fused_freq_roformer(x, attn_params, ff_params, rope[0], rope[1])
+    rng_a = rng_f = None
+    if rng is not None:
+        rng_a, rng_f = jax.random.split(rng)
+    x = x + attention_block(
+        attn_params, x, rope, heads, dropout_rate=dropout_rate, rng=rng_a
+    )
+    return ff_residual(ff_params, x, dropout_rate=dropout_rate, rng=rng_f)
+
+
 def batch_norm_apply(
     params: dict,
     x: jnp.ndarray,
