@@ -40,6 +40,14 @@ from beat_this_tpu.model.layers import (
 from beat_this_tpu.ops.rotary import rope_tables
 
 
+def _kernels_on() -> bool:
+    """True when the Pallas kernel path (flash / packed attention with
+    custom VJPs) is active — see layers._flash_enabled."""
+    from beat_this_tpu.model.layers import _flash_enabled
+
+    return _flash_enabled()
+
+
 @dataclass(frozen=True)
 class BeatThisConfig:
     """Hyperparameters, defaults as the reference
@@ -276,10 +284,11 @@ def apply_beat_this(
     def next_rng(i):
         return None if rng is None or not train else jax.random.fold_in(rng, i)
 
-    if train:
-        # rematerialize each residual branch in the backward pass: the
-        # 1500-frame attention probability matrices (O(N^2) per head) would
-        # otherwise be saved as residuals and overflow HBM at batch 8
+    if train and not _kernels_on():
+        # XLA-fallback training (CPU tests): rematerialize each residual
+        # branch in the backward pass — the 1500-frame attention probability
+        # matrices (O(N^2) per head) would otherwise be saved as residuals
+        # and overflow HBM at batch 8
         def attention_fn(p, x, rope, heads, *, dropout_rate, rng):
             wrapped = jax.checkpoint(
                 lambda p_, x_, rope_, rng_: attention_block(
@@ -295,6 +304,20 @@ def apply_beat_this(
                 )
             )
             return wrapped(p, x, rng)
+    elif train:
+        # TPU kernel path: the flash / packed-attention custom VJPs carry
+        # O(N*d) residuals (q, k, v, o, lse) and regenerate dropout from the
+        # seed, so nothing quadratic is ever saved — skipping remat avoids
+        # recomputing every branch forward in the backward pass (~25% of the
+        # step). Peak activation memory at the reference batch (8 crops of
+        # 1500 frames per microbatch) is a few GB, well within HBM.
+        def attention_fn(p, x, rope, heads, *, dropout_rate, rng):
+            return attention_block(
+                p, x, rope, heads, dropout_rate=dropout_rate, rng=rng
+            )
+
+        def ff_res(p, x, *, dropout_rate, rng):
+            return x + feed_forward(p, x, dropout_rate=dropout_rate, rng=rng)
     else:
         attention_fn = attention_block
         ff_res = ff_residual

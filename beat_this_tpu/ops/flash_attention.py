@@ -314,6 +314,13 @@ def _flash_forward(q, k, v, seed, cos, sin, block_q, block_k, interpret, rate,
                    need_lse):
     bh, n, d = q.shape
     scale = d**-0.5
+    if need_lse:
+        # the residual-saving forward (training) carries the extra lse
+        # output and overflows the 16 MB scoped-VMEM budget at the eval
+        # blocks (measured 16.59 MB at 1536x768); 768x768 stays well under
+        # and splits 1500-frame sequences evenly
+        block_q = min(block_q, 768)
+        block_k = min(block_k, 768)
     block_q = min(block_q, -(-n // 128) * 128)
     n_q_pad = -(-n // block_q) * block_q
     block_k = min(block_k, -(-n // 128) * 128)

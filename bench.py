@@ -77,8 +77,8 @@ def main():
 
     chunk = 1500
     border = 6
-    batch = 16  # chunks per device batch
-    scan_len = 20  # batches per executable: amortizes dispatch latency
+    batch = 8  # chunks per device batch (measured best: 8 > 16 > 32)
+    scan_len = 40  # batches per executable: amortizes dispatch latency
     fps = 50.0
 
     @jax.jit
