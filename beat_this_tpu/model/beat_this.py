@@ -347,9 +347,15 @@ def apply_beat_this(
             rope_freq = rope_tables(n_freq, c.head_dim)
             # frequency-axis roformer: (B, T, F, C) -> (B*T, F, C), no transpose
             hf = h.reshape(b * t, n_freq, dim)
-            if not train:
-                # eval: the whole freq block is one fused Pallas kernel on TPU
-                hf = freq_roformer(p["attnF"], p["ffF"], hf, rope_freq, heads)
+            if not train or _kernels_on():
+                # the whole freq block is one fused Pallas kernel on TPU
+                # (forward-only at eval; forward + custom-VJP backward with
+                # in-kernel dropout when training)
+                hf = freq_roformer(
+                    p["attnF"], p["ffF"], hf, rope_freq, heads,
+                    dropout_rate=drop_f if train else 0.0,
+                    rng=next_rng(rng_i := rng_i + 1) if train else None,
+                )
             else:
                 hf = hf + attention_fn(
                     p["attnF"], hf, rope_freq, heads,

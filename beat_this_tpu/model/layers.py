@@ -253,10 +253,19 @@ def freq_roformer(
     frequency path is HBM-bound, and the fusion reads/writes each activation
     row once instead of ~12 times."""
     f = x.shape[1]
-    if rng is None and f <= 32 and 128 % f == 0 and _flash_enabled():
+    if f <= 32 and 128 % f == 0 and _flash_enabled():
         from beat_this_tpu.ops.fused_freq import fused_freq_roformer
 
-        return fused_freq_roformer(x, attn_params, ff_params, rope[0], rope[1])
+        rate = dropout_rate if rng is not None else 0.0
+        seed = (
+            jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+            if rate > 0.0
+            else None
+        )
+        return fused_freq_roformer(
+            x, attn_params, ff_params, rope[0], rope[1],
+            dropout_rate=rate, seed=seed,
+        )
     rng_a = rng_f = None
     if rng is not None:
         rng_a, rng_f = jax.random.split(rng)

@@ -383,9 +383,14 @@ def _flash_backward(q, k, v, o, lse_pad, do, seed, cos, sin, block_q,
     # the backward kernels hold several (block_q, block_k) float32
     # intermediates (s, p, dp, plus the regenerated dropout mask) at once;
     # the forward's large blocks exceed the ~16 MB VMEM budget there, so
-    # cap the backward at 512 regardless of the forward block choice
-    block_q = min(block_q, 512, -(-n // 128) * 128)
-    block_k = min(block_k, 512, -(-n // 128) * 128)
+    # cap the backward regardless of the forward block choice (overridable
+    # for sweeps via BEAT_THIS_FLASH_BWD_CAP; jit caches must be cleared
+    # when changing it mid-process)
+    import os
+
+    cap = int(os.environ.get("BEAT_THIS_FLASH_BWD_CAP", "512"))
+    block_q = min(block_q, cap, -(-n // 128) * 128)
+    block_k = min(block_k, cap, -(-n // 128) * 128)
     n_q_pad = -(-n // block_q) * block_q
     n_k_pad = -(-n // block_k) * block_k
     n_tab = max(n_q_pad, n_k_pad)

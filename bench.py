@@ -58,12 +58,18 @@ def bench_train_step(config):
     jax.device_get(parts["total"])
     ts, parts = step(ts, batch, key)  # warm
     jax.device_get(parts["total"])
-    iters = 3
-    t0 = time.perf_counter()
+    # time each step separately and report the fastest: host-dispatched
+    # steps go through the axon relay, which intermittently stalls a
+    # dispatch for seconds — the mean then measures the relay, not the chip
+    # (observed 5.0 s means vs a stable 1.4 s minimum)
+    iters = 5
+    best = float("inf")
     for i in range(iters):
+        t0 = time.perf_counter()
         ts, parts = step(ts, batch, jax.random.fold_in(key, i))
-    jax.device_get(parts["total"])
-    return (time.perf_counter() - t0) / iters
+        jax.device_get(parts["total"])
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
