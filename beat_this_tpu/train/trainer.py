@@ -37,6 +37,7 @@ from beat_this_tpu.postprocessing import Postprocessor
 from beat_this_tpu.train.task import (
     TrainConfig,
     TrainState,
+    dropout_key,
     init_train_state,
     make_eval_step,
     make_optimizer,
@@ -262,7 +263,7 @@ class Trainer:
             raise ValueError("dataset too small for one optimizer step")
         self.tc.max_steps = steps_per_epoch * self.max_epochs
         train_step = jax.jit(make_train_step(self.model_config, self.tc))
-        eval_loop_rng = jax.random.PRNGKey(self.seed)
+        eval_loop_rng = dropout_key(self.seed)
 
         if resume_path:
             ts, start_epoch = self.load_checkpoint(resume_path)

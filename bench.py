@@ -30,6 +30,7 @@ def bench_train_step(config):
     from beat_this_tpu.model import init_beat_this
     from beat_this_tpu.train.task import (
         TrainConfig,
+        dropout_key,
         init_train_state,
         make_train_step,
     )
@@ -53,7 +54,7 @@ def bench_train_step(config):
         "downbeat_mask": jnp.ones((tc.accum_steps, micro), jnp.float32),
     }
     step = jax.jit(make_train_step(config, tc))
-    key = jax.random.PRNGKey(0)
+    key = dropout_key(0)
     ts, parts = step(ts, batch, key)  # compile
     jax.device_get(parts["total"])
     ts, parts = step(ts, batch, key)  # warm
