@@ -483,6 +483,13 @@ class BeatDataModule:
             for item in dataset.items
             if item["downbeat_mask"]
         )
+        if beat_frames == 0 or downbeat_frames == 0:
+            raise ValueError(
+                "cannot compute positive weights: the training set contains "
+                f"no {'beat' if beat_frames == 0 else 'downbeat'} "
+                "annotations — check the data directory layout and whether "
+                "every item was dropped for missing augmented spectrograms"
+            )
         widen = widen_target_mask * 2 + 1
         return {
             "beat": int(np.round((all_frames - beat_frames * widen) / beat_frames)),
