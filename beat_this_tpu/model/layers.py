@@ -32,8 +32,8 @@ BN_EPS = 1e-5  # torch BatchNorm default
 BN_MOMENTUM = 0.1  # torch BatchNorm default
 
 # sequences at least this long route through the Pallas flash-attention
-# kernel on TPU (forward and custom-VJP backward); attention-probability
-# dropout > 0 falls back to the XLA path, which supports it
+# kernel on TPU (forward and custom-VJP backward; attention-probability
+# dropout is regenerated in-kernel from a seed in both passes)
 FLASH_MIN_SEQ = 512
 
 
@@ -253,7 +253,14 @@ def freq_roformer(
     frequency path is HBM-bound, and the fusion reads/writes each activation
     row once instead of ~12 times."""
     f = x.shape[1]
-    if f <= 32 and 128 % f == 0 and _flash_enabled():
+    # the fused kernel hardcodes head_dim 32 (the model's only head size);
+    # any other head_dim falls through to the composable path
+    if (
+        f <= 32
+        and 128 % f == 0
+        and x.shape[-1] == heads * 32
+        and _flash_enabled()
+    ):
         from beat_this_tpu.ops.fused_freq import fused_freq_roformer
 
         rate = dropout_rate if rng is not None else 0.0

@@ -310,17 +310,32 @@ def _pad_tables(cos, sin, n, d, n_tab):
     )
 
 
+def _train_block_cap() -> int:
+    """Block cap shared by the residual-saving (training) forward and BOTH
+    backward kernels. They must tile identically: the in-kernel dropout
+    masks are salted by (head, q-block, k-block) INDEX and shaped per
+    block, so any geometry mismatch makes the backward regenerate different
+    masks than the forward applied — silently corrupting gradients. 512
+    also keeps the backward's several (block_q, block_k) float32
+    intermediates (s, p, dp, mask) inside the 16 MB scoped-VMEM budget.
+    Overridable for sweeps via BEAT_THIS_FLASH_BWD_CAP (clear jit caches
+    when changing it mid-process)."""
+    import os
+
+    return int(os.environ.get("BEAT_THIS_FLASH_BWD_CAP", "512"))
+
+
 def _flash_forward(q, k, v, seed, cos, sin, block_q, block_k, interpret, rate,
                    need_lse):
     bh, n, d = q.shape
     scale = d**-0.5
     if need_lse:
-        # the residual-saving forward (training) carries the extra lse
-        # output and overflows the 16 MB scoped-VMEM budget at the eval
-        # blocks (measured 16.59 MB at 1536x768); 768x768 stays well under
-        # and splits 1500-frame sequences evenly
-        block_q = min(block_q, 768)
-        block_k = min(block_k, 768)
+        # training: tile exactly like the backward (see _train_block_cap) —
+        # this also keeps the extra lse output under the scoped-VMEM budget
+        # (the eval blocks measured 16.59 MB with lse live)
+        cap = _train_block_cap()
+        block_q = min(block_q, cap)
+        block_k = min(block_k, cap)
     block_q = min(block_q, -(-n // 128) * 128)
     n_q_pad = -(-n // block_q) * block_q
     block_k = min(block_k, -(-n // 128) * 128)
@@ -373,22 +388,17 @@ def _flash_forward(q, k, v, seed, cos, sin, block_q, block_k, interpret, rate,
 def _seed_spec(interpret):
     if pltpu is not None and not interpret:
         return pl.BlockSpec(memory_space=pltpu.SMEM)
-    return pl.BlockSpec((1,), lambda b, i: (0,))
+    # grid-rank-agnostic index map: this helper serves 1-D and 2-D grids
+    return pl.BlockSpec((1,), lambda *_: (0,))
 
 
 def _flash_backward(q, k, v, o, lse_pad, do, seed, cos, sin, block_q,
                     block_k, interpret, rate):
     bh, n, d = q.shape
     scale = d**-0.5
-    # the backward kernels hold several (block_q, block_k) float32
-    # intermediates (s, p, dp, plus the regenerated dropout mask) at once;
-    # the forward's large blocks exceed the ~16 MB VMEM budget there, so
-    # cap the backward regardless of the forward block choice (overridable
-    # for sweeps via BEAT_THIS_FLASH_BWD_CAP; jit caches must be cleared
-    # when changing it mid-process)
-    import os
-
-    cap = int(os.environ.get("BEAT_THIS_FLASH_BWD_CAP", "512"))
+    # identical tiling to the training forward — see _train_block_cap for
+    # why (dropout mask regeneration) and for the VMEM constraint
+    cap = _train_block_cap()
     block_q = min(block_q, cap, -(-n // 128) * 128)
     block_k = min(block_k, cap, -(-n // 128) * 128)
     n_q_pad = -(-n // block_q) * block_q

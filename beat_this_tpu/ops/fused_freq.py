@@ -122,28 +122,38 @@ def _head_qkv(qkv, sl, h, c, cos, sin, dtype):
     return q, k, v, q_rot.astype(dtype)
 
 
-def _attention(qkv, c, heads, f, cos, sin, same, seed_ref, rate, dtype):
+def _attention(qkv, c, heads, f, cos, sin, same, seed_ref, rate, dtype,
+               want_stash=False):
     """Packed block-diagonal attention over all packs and heads.
-    Returns o (rows, C) in `dtype`."""
+
+    Returns o (rows, C) in `dtype`; with `want_stash` also returns the
+    per-(pack, head) forward quantities (q_scaled, k, v, q_unscaled,
+    pre-dropout e, l) so the backward can reuse them instead of recomputing
+    the whole rope + score + exp pass (all of it stays in VMEM: ~1 MB at
+    C=128 and 512 rows)."""
     from beat_this_tpu.ops.small_attention import _packed_exp
 
     rows = qkv.shape[0]
     pack_outs = []
+    stash = []
     for p in range(rows // _PACK_ROWS):
         sl = slice(p * _PACK_ROWS, (p + 1) * _PACK_ROWS)
         head_outs = []
         for h in range(heads):
-            q, k, v, _ = _head_qkv(qkv, sl, h, c, cos, sin, dtype)
+            q, k, v, q_unscaled = _head_qkv(qkv, sl, h, c, cos, sin, dtype)
             e, l = _packed_exp(q, k, same)
+            if want_stash:
+                stash.append((q, k, v, q_unscaled, e, l))
+            ed = e
             if rate > 0.0:
-                e = e * _dropmask(
+                ed = e * _dropmask(
                     seed_ref, pl.program_id(0), _SITE_ATTN, p * 8 + h,
                     e.shape, rate,
                 )
             head_outs.append(
                 (
                     jax.lax.dot_general(
-                        e.astype(dtype), v,
+                        ed.astype(dtype), v,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
@@ -153,7 +163,8 @@ def _attention(qkv, c, heads, f, cos, sin, same, seed_ref, rate, dtype):
         pack_outs.append(
             head_outs[0] if heads == 1 else jnp.concatenate(head_outs, axis=1)
         )
-    return pack_outs[0] if len(pack_outs) == 1 else jnp.concatenate(pack_outs, axis=0)
+    o = pack_outs[0] if len(pack_outs) == 1 else jnp.concatenate(pack_outs, axis=0)
+    return (o, stash) if want_stash else o
 
 
 def _gates_sig(g, wg_ref, bg_ref):
@@ -239,7 +250,7 @@ def _fused_freq_bwd_kernel(
     dgf_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
     *, f, heads, rate,
 ):
-    from beat_this_tpu.ops.small_attention import _packed_exp, _same_item_mask
+    from beat_this_tpu.ops.small_attention import _same_item_mask
 
     x = x_ref[...]
     do32 = do_ref[...].astype(jnp.float32)
@@ -263,7 +274,10 @@ def _fused_freq_bwd_kernel(
     g32, n1, r1 = _rms_parts(x32, ga)
     g = g32.astype(dtype)
     qkv = _qkv_of(g, wqkv_ref)
-    o = _attention(qkv, c, heads, f, cos, sin, same, seed_ref, rate, dtype)
+    o, stash = _attention(
+        qkv, c, heads, f, cos, sin, same, seed_ref, rate, dtype,
+        want_stash=True,
+    )
     sig32 = _gates_sig(g, wg_ref, bg_ref)
     gate_full = _gate_full(sig32, rows, c, heads, dtype)
     og = o * gate_full
@@ -375,7 +389,8 @@ def _fused_freq_bwd_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    # --- attention backward per pack and head (softmax recomputed) ---
+    # --- attention backward per pack and head (forward quantities reused
+    # from the stash; only the dropout masks regenerate) ---
     from beat_this_tpu.ops.flash_attention import rope_rotate_inv
 
     pack_dqkv = []
@@ -383,8 +398,7 @@ def _fused_freq_bwd_kernel(
         sl = slice(p * _PACK_ROWS, (p + 1) * _PACK_ROWS)
         dq_cols, dk_cols, dv_cols = [], [], []
         for h in range(heads):
-            q, k, v, q_unscaled = _head_qkv(qkv, sl, h, c, cos, sin, dtype)
-            e, l = _packed_exp(q, k, same)
+            q, k, v, q_unscaled, e, l = stash[p * heads + h]
             probs = e / l
             d_o_h = d_o[sl, h * _HEAD_DIM : (h + 1) * _HEAD_DIM]
             dp = jax.lax.dot_general(
@@ -444,29 +458,16 @@ def _fused_freq_bwd_kernel(
     dx_ref[...] = (d_x2 + _rms_bwd(d_g, n1, r1, ga, c)).astype(dx_ref.dtype)
 
 
+# block-spec and rope-table helpers are shared with the sibling kernels
+from beat_this_tpu.ops.flash_attention import _seed_spec, _specs  # noqa: E402
+
+
 def _rope_full_tables(rope_cos, rope_sin, f):
-    cosf = jnp.tile(
-        jnp.repeat(rope_cos.astype(jnp.float32), 2, axis=-1),
-        (_PACK_ROWS // f, 1),
-    )
-    sinf = jnp.tile(
-        jnp.repeat(rope_sin.astype(jnp.float32), 2, axis=-1),
-        (_PACK_ROWS // f, 1),
-    )
-    return cosf, sinf
+    """Half-width (f, 16) tables -> (_PACK_ROWS, 32) full-width float32
+    (same layout as ops/small_attention._full_tables)."""
+    from beat_this_tpu.ops.small_attention import _full_tables
 
-
-def _specs(interpret):
-    kwargs = {}
-    if _MEMORY_SPACE is not None and not interpret:
-        kwargs["memory_space"] = _MEMORY_SPACE
-    return kwargs
-
-
-def _seed_spec(interpret):
-    if pltpu is not None and not interpret:
-        return pl.BlockSpec(memory_space=pltpu.SMEM)
-    return pl.BlockSpec((1,), lambda i: (0,))
+    return _full_tables(rope_cos, rope_sin, f, _HEAD_DIM)
 
 
 def _pad_rows(x2, padded, rows):

@@ -49,11 +49,13 @@ class TrainConfig:
 def dropout_key(seed: int) -> jax.Array:
     """PRNG key for the training dropout streams.
 
-    Uses the `rbg` generator when available: the model draws hundreds of
-    millions of dropout bits per microbatch at the XLA sites, and threefry
-    key derivation costs ~12% of the measured train step on TPU (rbg uses
-    the hardware-friendly generator instead). Falls back to the default
-    implementation where rbg is unavailable."""
+    Uses the `rbg` implementation when available: the model draws hundreds
+    of millions of dropout bits per microbatch at the XLA sites, and
+    generating them with threefry costs ~12% of the measured train step on
+    TPU. rbg keeps threefry for key derivation (split/fold_in) but produces
+    the bulk random bits with the hardware-friendly generator — dropout
+    needs stream independence, not cryptographic quality. Falls back to the
+    default implementation where rbg is unavailable."""
     try:
         return jax.random.key(seed, impl="rbg")
     except Exception:  # pragma: no cover
