@@ -19,7 +19,6 @@ randomness is an explicit, seedable numpy Generator.
 from __future__ import annotations
 
 import json
-import re
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
@@ -307,60 +306,72 @@ class BeatDataModule:
                 rows.append((piece, part))
         return rows
 
+    # Datasets used in the "hung" comparability subset (MODELING BEATS AND
+    # DOWNBEATS WITH A TIME-FREQUENCY TRANSFORMER); the trailing empty
+    # alternative deliberately matches dataset-less items, as the reference
+    # regex does (reference dataset.py:352-360).
+    _HUNG_PREFIXES = (
+        "hainsworth/", "ballroom/", "hjdb/", "beatles/", "rwc/rwc_popular",
+        "simac/", "smc/", "harmonix/", "",
+    )
+
+    def _collect_fit_items(self):
+        """Bucket every annotated piece (outside the test set) into its
+        train/val role according to the active split scheme.
+
+        Behavioral contract: reference dataset.py:312-370 — 8-fold CV when a
+        fold index is set (that fold validates, the rest train), otherwise the
+        per-dataset "single.split" role column; `no_val` folds the validation
+        pieces back into training; `hung_data` restricts training to a fixed
+        dataset subset.
+        """
+        split_name = "8-folds.split" if self.fold is not None else "single.split"
+        buckets = {"train": [], "val": []}
+        for split_path in sorted(self.data_dir.glob(f"annotations/*/{split_name}")):
+            corpus = split_path.parent.name
+            if corpus == self.test_set_name:
+                continue
+            for piece, part in self._read_split(split_path):
+                if self.fold is not None:
+                    role = "val" if int(part) == self.fold else "train"
+                else:
+                    role = part if part in buckets else None
+                if role is not None:
+                    buckets[role].append(f"{corpus}/{piece}")
+        if self.no_val:
+            buckets["train"] += buckets["val"]
+        if self.hung_data:
+            buckets["train"] = [
+                item for item in buckets["train"]
+                if item.startswith(self._HUNG_PREFIXES)
+            ]
+        return sorted(buckets["train"]), sorted(buckets["val"])
+
+    def _make_eval_dataset(self, items, full_pieces=False):
+        """A deterministic, augmentation-free dataset over `items`."""
+        return BeatTrackingDataset(
+            items,
+            deterministic=True,
+            augmentations={},
+            train_length=None if full_pieces else self.train_length,
+            data_folder=self.data_dir,
+            spect_fps=self.spect_fps,
+        )
+
+    @staticmethod
+    def _announce(label, items, sources):
+        print(f"{label}:", len(items), "items from:", *sources)
+
     def setup(self, stage):
         if self.initialized.get(stage, False):
             return
-        annotation_dir = self.data_dir / "annotations"
 
         if stage in ("fit", "validate"):
-            self.val_items, self.train_items = [], []
-            split_file = "8-folds.split" if self.fold is not None else "single.split"
-            for dataset_dir in sorted(annotation_dir.iterdir()):
-                if not dataset_dir.is_dir() or not (dataset_dir / split_file).exists():
-                    continue
-                dataset = dataset_dir.name
-                if dataset == self.test_set_name:
-                    continue
-                split = self._read_split(dataset_dir / split_file)
-                if self.fold is not None:
-                    self.val_items.extend(
-                        f"{dataset}/{p}" for p, part in split if int(part) == self.fold
-                    )
-                    self.train_items.extend(
-                        f"{dataset}/{p}" for p, part in split if int(part) != self.fold
-                    )
-                else:
-                    self.val_items.extend(
-                        f"{dataset}/{p}" for p, part in split if part == "val"
-                    )
-                    self.train_items.extend(
-                        f"{dataset}/{p}" for p, part in split if part == "train"
-                    )
-            if self.no_val:
-                self.train_items.extend(self.val_items)
-            if self.hung_data:
-                regexp = re.compile(
-                    "^(hainsworth/|ballroom/|hjdb/|beatles/|rwc/rwc_popular|"
-                    "simac/|smc/|harmonix/|).*$"
-                )
-                self.train_items = [
-                    item for item in self.train_items if regexp.match(item)
-                ]
-            self.val_items.sort()
-            self.train_items.sort()
-
-        if stage in ("fit", "validate"):
-            self.val_dataset = BeatTrackingDataset(
-                self.val_items,
-                deterministic=True,
-                augmentations={},
-                train_length=self.train_length,
-                data_folder=self.data_dir,
-                spect_fps=self.spect_fps,
-            )
-            print(
-                "Validation set:", len(self.val_dataset), "items from:",
-                *sorted(set(i.split("/", 1)[0] for i in self.val_items)),
+            self.train_items, self.val_items = self._collect_fit_items()
+            self.val_dataset = self._make_eval_dataset(self.val_items)
+            self._announce(
+                "Validation set", self.val_items,
+                sorted({i.split("/", 1)[0] for i in self.val_items}),
             )
             self.initialized["validate"] = True
 
@@ -375,32 +386,24 @@ class BeatDataModule:
                 length_based_oversampling_factor=self.length_based_oversampling_factor,
                 seed=self.seed,
             )
-            print(
-                "Training set:", len(self.train_dataset), "items from:",
-                *sorted(set(i.split("/", 1)[0] for i in self.train_items)),
+            self._announce(
+                "Training set", self.train_items,
+                sorted({i.split("/", 1)[0] for i in self.train_items}),
             )
             self.initialized["fit"] = True
 
         if stage == "test":
-            test_annotations_dir = (
-                annotation_dir / self.test_set_name / "annotations" / "beats"
+            beats_dir = (
+                self.data_dir / "annotations" / self.test_set_name
+                / "annotations" / "beats"
             )
             self.test_items = sorted(
-                f"{self.test_set_name}/{item.stem}"
-                for item in test_annotations_dir.glob("*.beats")
+                f"{self.test_set_name}/{f.stem}" for f in beats_dir.glob("*.beats")
             )
-            self.test_dataset = BeatTrackingDataset(
-                self.test_items,
-                deterministic=True,
-                augmentations={},
-                train_length=None,
-                data_folder=self.data_dir,
-                spect_fps=self.spect_fps,
+            self.test_dataset = self._make_eval_dataset(
+                self.test_items, full_pieces=True
             )
-            print(
-                "Test set:", len(self.test_dataset), "items from:",
-                self.test_set_name,
-            )
+            self._announce("Test set", self.test_items, [self.test_set_name])
             self.initialized["test"] = True
 
         if stage == "predict":
@@ -408,19 +411,14 @@ class BeatDataModule:
                 self.setup("test")
                 self.predict_dataset = self.test_dataset
             else:
-                if self.predict_datasplit == "train":
-                    self.setup("fit")
-                    items = self.train_items
-                else:
-                    self.setup("validate")
-                    items = self.val_items
-                self.predict_dataset = BeatTrackingDataset(
-                    items,
-                    deterministic=True,
-                    augmentations={},
-                    train_length=None,
-                    data_folder=self.data_dir,
-                    spect_fps=self.spect_fps,
+                source_stage = "fit" if self.predict_datasplit == "train" else "validate"
+                self.setup(source_stage)
+                items = (
+                    self.train_items if self.predict_datasplit == "train"
+                    else self.val_items
+                )
+                self.predict_dataset = self._make_eval_dataset(
+                    items, full_pieces=True
                 )
             self.initialized["predict"] = True
 
@@ -469,31 +467,49 @@ class BeatDataModule:
             yield dataset[i]
 
     def get_train_positive_weights(self, widen_target_mask=3):
-        """Corpus-level positive-class weights (reference dataset.py:473-509)."""
+        """Negative-to-positive frame ratio over the training corpus, per
+        target, with `2*widen_target_mask+1` frames around each positive
+        excluded from the negatives (behavioral contract: reference
+        dataset.py:473-509).
+
+        The downbeat ratio only counts pieces whose downbeat annotations are
+        trustworthy (``downbeat_mask`` set), for both the frame total and the
+        positive total.
+        """
         dataset = self.train_dataset
-        all_frames = all_frames_db = 0
-        for item in dataset.items:
-            frames = len(dataset._get_spect(item))
-            all_frames += frames
-            if item["downbeat_mask"]:
-                all_frames_db += frames
-        beat_frames = sum(len(item["beat_value"]) for item in dataset.items)
-        downbeat_frames = sum(
-            int((item["beat_value"] == 1).sum())
-            for item in dataset.items
-            if item["downbeat_mask"]
-        )
-        if beat_frames == 0 or downbeat_frames == 0:
-            raise ValueError(
-                "cannot compute positive weights: the training set contains "
-                f"no {'beat' if beat_frames == 0 else 'downbeat'} "
-                "annotations — check the data directory layout and whether "
-                "every item was dropped for missing augmented spectrograms"
-            )
-        widen = widen_target_mask * 2 + 1
+        # one pass: per item, (#spect frames, #beat positives, #downbeat
+        # positives, downbeats trustworthy?)
+        table = np.array(
+            [
+                (
+                    len(dataset._get_spect(item)),
+                    len(item["beat_value"]),
+                    int((item["beat_value"] == 1).sum()),
+                    bool(item["downbeat_mask"]),
+                )
+                for item in dataset.items
+            ],
+            dtype=np.int64,
+        ).reshape(-1, 4)
+        ignored_per_positive = 2 * widen_target_mask + 1
+
+        def ratio(kind, n_frames, n_positive):
+            if n_positive == 0:
+                raise ValueError(
+                    "cannot compute positive weights: the training set "
+                    f"contains no {kind} annotations — check the data "
+                    "directory layout and whether every item was dropped "
+                    "for missing augmented spectrograms"
+                )
+            return int(np.round((n_frames - n_positive * ignored_per_positive)
+                                / n_positive))
+
+        trusted = table[:, 3] == 1
         return {
-            "beat": int(np.round((all_frames - beat_frames * widen) / beat_frames)),
-            "downbeat": int(
-                np.round((all_frames_db - downbeat_frames * widen) / downbeat_frames)
+            "beat": ratio("beat", table[:, 0].sum(), table[:, 1].sum()),
+            "downbeat": ratio(
+                "downbeat",
+                table[trusted, 0].sum(),
+                table[trusted, 2].sum(),
             ),
         }

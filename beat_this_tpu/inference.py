@@ -167,15 +167,22 @@ class ChunkedPredictor:
         border_size: int = BORDER_SIZE,
         compute_dtype=jnp.float32,
         mesh=None,
+        overlap_mode: str = "keep_first",
     ):
         """`mesh`: optional `jax.sharding.Mesh` with a "data" axis; the
         multi-piece path (`predict_many`) then shards the global chunk batch
-        over it (single-program data-parallel inference across chips)."""
+        over it (single-program data-parallel inference across chips).
+        `overlap_mode`: which chunk wins where chunks overlap — "keep_first"
+        (the reference default everywhere) or "keep_last"
+        (reference beat_this/inference.py:154-184)."""
+        if overlap_mode not in ("keep_first", "keep_last"):
+            raise ValueError(f"unknown overlap_mode: {overlap_mode!r}")
         self.model = model
         self.chunk_size = chunk_size
         self.border_size = border_size
         self.compute_dtype = compute_dtype
         self.mesh = mesh
+        self.overlap_mode = overlap_mode
         self._fns: dict = {}
         self._placed_model = None
 
@@ -200,9 +207,14 @@ class ChunkedPredictor:
             downbeat = out["downbeat"][:, bs : cs - bs]
             buf_b = jnp.full((n_chunks * stride,), -1000.0, jnp.float32)
             buf_d = jnp.full((n_chunks * stride,), -1000.0, jnp.float32)
-            # keep_first: write in reverse so earlier chunks win
-            # (reference beat_this/inference.py:174-184)
-            for i in reversed(range(n_chunks)):
+            # keep_first: write in reverse so earlier chunks win; keep_last:
+            # forward order (reference beat_this/inference.py:174-184).
+            # Bucket-padding rows carry garbage but their starts point at the
+            # sacrificial tail slot past the true length, trimmed by [:t].
+            order = range(n_chunks)
+            if self.overlap_mode == "keep_first":
+                order = reversed(order)
+            for i in order:
                 buf_b = jax.lax.dynamic_update_slice(buf_b, beat[i], (starts[i],))
                 buf_d = jax.lax.dynamic_update_slice(buf_d, downbeat[i], (starts[i],))
             return buf_b, buf_d
@@ -297,9 +309,10 @@ class ChunkedPredictor:
         padded_len = n_b * self.stride + 2 * self.border_size
         spect_pad = np.zeros((padded_len, spect.shape[1]), np.float32)
         spect_pad[self.border_size : self.border_size + t] = spect
-        # shift starts into padded coordinates; pad with copies of the last
-        # start (idempotent overwrites under keep_first)
-        starts_shifted = np.full((n_b,), starts[-1] + self.border_size, np.int32)
+        # shift starts into padded coordinates; bucket-padding rows aim at the
+        # sacrificial final stride slot (>= t whenever padding rows exist), so
+        # their garbage lands in the trimmed tail under either overlap mode
+        starts_shifted = np.full((n_b,), (n_b - 1) * self.stride, np.int32)
         starts_shifted[: len(starts)] = starts + self.border_size
         buf_b, buf_d = self._fns[n_b](
             self.model.params, self.model.state, jnp.asarray(spect_pad),
@@ -376,7 +389,10 @@ class ChunkedPredictor:
             piece_beat = beat_all[offset : offset + n]
             piece_down = down_all[offset : offset + n]
             # keep_first: reverse order so earlier chunks win
-            for i in range(n - 1, -1, -1):
+            order = range(n)
+            if self.overlap_mode == "keep_first":
+                order = reversed(order)
+            for i in order:
                 lo = starts[i] + self.border_size
                 hi = min(lo + self.stride, t)
                 beat[lo:hi] = piece_beat[i][: hi - lo]
@@ -396,11 +412,10 @@ def split_predict_aggregate(
 ) -> dict:
     """Functional equivalent of the reference helper
     (beat_this/inference.py:188-230): returns framewise logits for a whole
-    piece. Only "keep_first" overlap handling is provided (the reference
-    default everywhere)."""
-    if overlap_mode != "keep_first":
-        raise NotImplementedError("only overlap_mode='keep_first' is supported")
-    predictor = ChunkedPredictor(model, chunk_size, border_size, compute_dtype)
+    piece, with either "keep_first" or "keep_last" overlap handling."""
+    predictor = ChunkedPredictor(
+        model, chunk_size, border_size, compute_dtype, overlap_mode=overlap_mode
+    )
     beat, downbeat = predictor.predict(np.asarray(spect))
     return {"beat": beat, "downbeat": downbeat}
 
@@ -413,11 +428,23 @@ def split_predict_aggregate(
 class Spect2Frames:
     """Framewise beat/downbeat logits from a (T, 128) log-mel spectrogram."""
 
+    _warned_device = False
+
     def __init__(self, checkpoint_path="final0", device=None, float16=False,
                  chunk_size=CHUNK_SIZE, border_size=BORDER_SIZE):
         # `device` is accepted for API compatibility; JAX places computation
         # on the default backend (TPU if available). float16 selects bfloat16
         # compute, the TPU-native half precision.
+        if device is not None and not Spect2Frames._warned_device:
+            import warnings
+
+            warnings.warn(
+                f"Spect2Frames(device={device!r}) is accepted for reference "
+                "API compatibility but ignored: JAX places computation on "
+                "the default backend. Use JAX_PLATFORMS to choose a backend.",
+                stacklevel=2,
+            )
+            Spect2Frames._warned_device = True
         self.device = device
         self.float16 = float16
         self.model = load_model(checkpoint_path)

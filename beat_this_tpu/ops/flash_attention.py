@@ -319,20 +319,29 @@ def _train_block_cap() -> int:
     also keeps the backward's several (block_q, block_k) float32
     intermediates (s, p, dp, mask) inside the 16 MB scoped-VMEM budget.
     Overridable for sweeps via BEAT_THIS_FLASH_BWD_CAP (clear jit caches
-    when changing it mid-process)."""
+    when changing it mid-process: jit keys only on static args, so stale
+    executables built with the old cap are otherwise reused silently)."""
     import os
 
-    return int(os.environ.get("BEAT_THIS_FLASH_BWD_CAP", "512"))
+    cap = int(os.environ.get("BEAT_THIS_FLASH_BWD_CAP", "512"))
+    if cap < 128 or cap % 128:
+        raise ValueError(
+            f"BEAT_THIS_FLASH_BWD_CAP={cap} invalid: must be a multiple of "
+            "128 and >= 128 (Mosaic tiling requirement)"
+        )
+    return cap
 
 
 def _flash_forward(q, k, v, seed, cos, sin, block_q, block_k, interpret, rate,
                    need_lse):
     bh, n, d = q.shape
     scale = d**-0.5
-    if need_lse:
-        # training: tile exactly like the backward (see _train_block_cap) —
-        # this also keeps the extra lse output under the scoped-VMEM budget
-        # (the eval blocks measured 16.59 MB with lse live)
+    if need_lse or rate > 0.0:
+        # tile exactly like the backward (see _train_block_cap) whenever the
+        # lse output is live (scoped-VMEM: the eval blocks measured 16.59 MB
+        # with lse) AND whenever dropout is on — the mask is salted by block
+        # index, so a primal-only call (no value_and_grad) must realize the
+        # same dropout pattern as the custom-VJP forward for the same seed
         cap = _train_block_cap()
         block_q = min(block_q, cap)
         block_k = min(block_k, cap)
@@ -414,8 +423,8 @@ def _flash_backward(q, k, v, o, lse_pad, do, seed, cos, sin, block_q,
     qp, kp, vp = _pad_seq(q, n_q_pad), _pad_seq(k, n_k_pad), _pad_seq(v, n_k_pad)
     dop = _pad_seq(do.astype(q.dtype), n_q_pad)
     deltap = jnp.pad(delta, ((0, 0), (0, n_q_pad - n)))[..., None]
-    # the forward may have used a different q padding (its blocks are
-    # larger); re-pad the saved lse to this pass's layout
+    # the training forward shares this cap, so its q padding matches and this
+    # re-pad is a no-op kept as a cheap shape-safety net
     lse_pad = _pad_seq(lse_pad[:, :n, :], n_q_pad)
 
     q_spec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), **kwargs)

@@ -147,7 +147,7 @@ def _attention(qkv, c, heads, f, cos, sin, same, seed_ref, rate, dtype,
             ed = e
             if rate > 0.0:
                 ed = e * _dropmask(
-                    seed_ref, pl.program_id(0), _SITE_ATTN, p * 8 + h,
+                    seed_ref, pl.program_id(0), _SITE_ATTN, p * heads + h,
                     e.shape, rate,
                 )
             head_outs.append(
@@ -408,7 +408,7 @@ def _fused_freq_bwd_kernel(
             )
             if rate > 0.0:
                 mask = _dropmask(
-                    seed_ref, pid, _SITE_ATTN, p * 8 + h, dp.shape, rate
+                    seed_ref, pid, _SITE_ATTN, p * heads + h, dp.shape, rate
                 )
                 p_dropped = probs * mask
                 dp = dp * mask

@@ -23,26 +23,53 @@ import numpy as np
 from beat_this_tpu.ops.pool import peak_pick
 
 
+def _merge_close_peaks(group: np.ndarray, width: float) -> list:
+    """Scalar tail of `deduplicate_peaks` for one coarse group.
+
+    A peak joins the open cluster while it lies within `width` of the
+    cluster's current mean; otherwise the mean is emitted and a new cluster
+    opens.  Tracking (sum, count) instead of an incremental mean keeps the
+    arithmetic exact for long clusters.
+    """
+    means = []
+    acc = 0.0
+    n = 0
+    for q in group:
+        if n and q * n - acc > width * n:  # q - acc/n > width, without division
+            means.append(acc / n)
+            acc, n = 0.0, 0
+        acc += q
+        n += 1
+    means.append(acc / n)
+    return means
+
+
 def deduplicate_peaks(peaks, width=1) -> np.ndarray:
-    """Merge groups of adjacent peaks (<= `width` frames apart) into their
-    running average (reference: beat_this/model/postprocessor.py:176-197)."""
-    result = []
-    peaks = map(int, peaks)
-    try:
-        p = next(peaks)
-    except StopIteration:
-        return np.array(result)
-    c = 1
-    for p2 in peaks:
-        if p2 - p <= width:
-            c += 1
-            p += (p2 - p) / c  # running mean
+    """Collapse clusters of near-coincident peaks into their mean position.
+
+    Semantics match the reference (beat_this/model/postprocessor.py:176-197):
+    scanning left to right, a peak is absorbed into the current cluster iff
+    its distance to the cluster's *mean so far* is <= `width`.  Implemented
+    in two stages: a vectorized coarse split wherever the raw gap between
+    consecutive peaks already exceeds `width` (a cluster mean never exceeds
+    its last member, so such a gap always terminates a cluster), then the
+    exact mean-distance rule applied only inside coarse groups of >= 3
+    members — singletons pass through and pairs always merge, so both skip
+    the scalar loop entirely.
+    """
+    peaks = np.asarray(list(peaks), dtype=np.float64)
+    if peaks.size == 0:
+        return np.array([])
+    cut_after = np.flatnonzero(np.diff(peaks) > width)
+    out = []
+    for group in np.split(peaks, cut_after + 1):
+        if group.size == 1:
+            out.append(group[0])
+        elif group.size == 2:
+            out.append(0.5 * (group[0] + group[1]))
         else:
-            result.append(p)
-            p = p2
-            c = 1
-    result.append(p)
-    return np.array(result)
+            out.extend(_merge_close_peaks(group, width))
+    return np.asarray(out)
 
 
 class Postprocessor:

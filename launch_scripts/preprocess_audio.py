@@ -72,7 +72,7 @@ class AudioPreprocessing:
     def preprocess_audio(self):
         from beat_this_tpu.data.augment import precomputed_augmentation_filenames
 
-        print("Preprocessing audio files ...")
+        print("stage 1/3: converting audio to mono wav ...")
         self.augmentations = augmentation_dict(self.pitch_shift, self.time_stretch)
         self.expected = precomputed_augmentation_filenames(
             self.augmentations, self.ext
@@ -93,7 +93,7 @@ class AudioPreprocessing:
             ):
                 if future.result():
                     processed += 1
-        print("Processed", processed, "audio files")
+        print(f"stage 1/3 done: {processed} pieces converted")
 
     def process_audio_file(self, dataset_name, audio_path):
         from beat_this_tpu.io.audio import load_audio, save_wav
@@ -105,17 +105,17 @@ class AudioPreprocessing:
             / (audio_path.stem + ".beats")
         )
         if not beat_path.exists():
-            print(f"beat annotation {beat_path} not found for {audio_path}")
+            print(f"no .beats annotation at {beat_path}; skipping {audio_path}")
             return False
         folder = self.audio_dir / "mono_tracks" / dataset_name / audio_path.stem
         if all((folder / fn).exists() for fn in self.expected):
             if self.verbose:
-                print(f"All files in {folder} exist, skipping")
+                print(f"{folder}: every output already present, nothing to do")
             return True
         try:
             waveform, sr = load_audio(audio_path)
         except Exception as e:  # noqa: BLE001
-            print("Problem with loading waveform", audio_path, e)
+            print(f"skipping {audio_path}: could not decode audio ({e})")
             return False
         if waveform.ndim != 1:
             waveform = waveform.mean(axis=1)
@@ -160,7 +160,7 @@ class SpectCreation:
         )
 
     def create_spects(self):
-        print("Creating spectrograms ...")
+        print("stage 2/3: computing log-mel spectrograms ...")
         tasks = []
         for dataset_dir in sorted(self.mono_tracks_dir.iterdir()):
             for piece_dir in sorted(dataset_dir.iterdir()):
@@ -175,7 +175,7 @@ class SpectCreation:
             ):
                 if future.result():
                     processed += 1
-        print(f"Created {processed} spectrograms in {self.spectrograms_dir}")
+        print(f"stage 2/3 done: {processed} spectrograms under {self.spectrograms_dir}")
 
     def create_spect_piece(self, piece_dir, dataset_name):
         import jax.numpy as jnp

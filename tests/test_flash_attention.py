@@ -103,10 +103,12 @@ def test_bfloat16(n=200):
     assert diff < 0.05
 
 
-def test_default_blocks_mismatched_bwd_padding():
-    """The forward's default blocks are larger than the backward's cap; at
-    n=768 they produce different q paddings (768 vs 1024), exercising the
-    lse re-pad in _flash_backward."""
+def test_default_blocks_grad_at_awkward_length():
+    """Gradients at n=768 with the default (large) block sizes: since the
+    shared _train_block_cap, the training forward and backward tile
+    identically (both capped), so this checks the capped-vs-uncapped
+    (primal vs VJP-forward) block routing still produces correct grads at a
+    length that is not a multiple of the cap."""
     import jax
 
     rng = np.random.RandomState(3)

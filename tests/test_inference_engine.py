@@ -23,12 +23,13 @@ def model():
     return LoadedModel(cfg, params, state)
 
 
-def oracle_predict(model, spect, chunk_size, border_size):
+def oracle_predict(model, spect, chunk_size, border_size,
+                   overlap_mode="keep_first"):
     """Host-side re-implementation of the reference chunked inference
-    (beat_this/inference.py:100-230): keep_first overlap, avoid_short_end,
-    and — crucially — pieces no longer than one chunk run as a single
-    SHORTER chunk of length t + 2*border (reference inference.py:111-135),
-    not a zero-padded full-size one."""
+    (beat_this/inference.py:100-230): keep_first/keep_last overlap,
+    avoid_short_end, and — crucially — pieces no longer than one chunk run as
+    a single SHORTER chunk of length t + 2*border (reference
+    inference.py:111-135), not a zero-padded full-size one."""
     t = len(spect)
     starts = plan_chunks(t, chunk_size, border_size)
     fwd = jax.jit(
@@ -52,7 +53,10 @@ def oracle_predict(model, spect, chunk_size, border_size):
         )
     beat = np.full(t, -1000.0, np.float32)
     downbeat = np.full(t, -1000.0, np.float32)
-    for start, (cb, cd) in reversed(list(zip(starts, chunk_outs))):
+    pairs = list(zip(starts, chunk_outs))
+    if overlap_mode == "keep_first":
+        pairs = reversed(pairs)
+    for start, (cb, cd) in pairs:
         cb = cb[border_size:-border_size] if border_size else cb
         cd = cd[border_size:-border_size] if border_size else cd
         lo = start + border_size
@@ -86,6 +90,38 @@ def test_chunked_predictor_matches_host_oracle(model, t):
     assert beat.shape == (t,)
     np.testing.assert_allclose(beat, ob, atol=5e-5)
     np.testing.assert_allclose(downbeat, od, atol=5e-5)
+
+
+@pytest.mark.parametrize("t", [300, 200])
+def test_keep_last_overlap_mode(model, t):
+    rng = np.random.RandomState(1000 + t)
+    spect = rng.randn(t, 128).astype(np.float32)
+    predictor = ChunkedPredictor(
+        model, chunk_size=CHUNK, border_size=BORDER, overlap_mode="keep_last"
+    )
+    beat, downbeat = predictor.predict(spect)
+    ob, od = oracle_predict(model, spect, CHUNK, BORDER, "keep_last")
+    np.testing.assert_allclose(beat, ob, atol=5e-5)
+    np.testing.assert_allclose(downbeat, od, atol=5e-5)
+    # the overlap region must actually differ between the two modes
+    fb, _ = oracle_predict(model, spect, CHUNK, BORDER, "keep_first")
+    assert not np.allclose(ob, fb)
+    # the batched multi-piece path stitches identically
+    (mb, md), = predictor.predict_many([spect])
+    np.testing.assert_allclose(mb, beat, atol=5e-5)
+    np.testing.assert_allclose(md, downbeat, atol=5e-5)
+
+
+def test_split_predict_aggregate_keep_last(model):
+    from beat_this_tpu.inference import split_predict_aggregate
+
+    spect = np.random.RandomState(7).randn(250, 128).astype(np.float32)
+    out = split_predict_aggregate(spect, CHUNK, BORDER, "keep_last", model)
+    ob, od = oracle_predict(model, spect, CHUNK, BORDER, "keep_last")
+    np.testing.assert_allclose(out["beat"], ob, atol=5e-5)
+    np.testing.assert_allclose(out["downbeat"], od, atol=5e-5)
+    with pytest.raises(ValueError):
+        split_predict_aggregate(spect, CHUNK, BORDER, "keep_middle", model)
 
 
 def test_short_piece_single_chunk(model):
