@@ -402,6 +402,51 @@ class ChunkedPredictor:
         return results
 
 
+def predict_postprocess_batched(
+    predictor: "ChunkedPredictor",
+    postprocessor,
+    pieces,
+    group_size: int = 32,
+):
+    """Stream (piece, beat_times, downbeat_times) over an iterable of piece
+    dicts (each with a "spect"), batching `group_size` pieces per device
+    dispatch.
+
+    This is the eval-protocol fast path: the reference's prediction loops
+    (reference launch_scripts/compute_paper_metrics.py:213-225, batch-size-1
+    DataLoaders) issue one forward per piece; over a high-latency accelerator
+    link that is one ~0.35 s round trip per piece. Routing through
+    `ChunkedPredictor.predict_many` packs all chunks of a group into one
+    bucketed forward, and the postprocessor runs batched (padded to the
+    group's max length with the padding masked off), so a GTZAN-sized eval
+    issues O(#pieces / group_size) dispatches instead of O(#pieces).
+    Results are identical to the per-piece path (tested in
+    tests/test_batched_eval.py)."""
+
+    def flush(group):
+        logits = predictor.predict_many([p["spect"] for p in group])
+        t_max = max(len(b) for b, _ in logits)
+        n = len(group)
+        beat = np.full((n, t_max), -1000.0, np.float32)
+        down = np.full((n, t_max), -1000.0, np.float32)
+        mask = np.zeros((n, t_max), bool)
+        for i, (b, d) in enumerate(logits):
+            beat[i, : len(b)] = b
+            down[i, : len(d)] = d
+            mask[i, : len(b)] = True
+        beat_times, down_times = postprocessor(beat, down, mask)
+        yield from zip(group, beat_times, down_times)
+
+    group = []
+    for piece in pieces:
+        group.append(piece)
+        if len(group) == group_size:
+            yield from flush(group)
+            group = []
+    if group:
+        yield from flush(group)
+
+
 def split_predict_aggregate(
     spect,
     chunk_size: int,

@@ -342,8 +342,13 @@ class Trainer:
 
     def test(self, ts: TrainState):
         """Full-piece prediction + test metrics on the test split (reference
-        predict/test path, pl_module.py:224-277)."""
-        from beat_this_tpu.inference import ChunkedPredictor, LoadedModel
+        predict/test path, pl_module.py:224-277), batched over piece groups
+        so the whole split costs a handful of device dispatches."""
+        from beat_this_tpu.inference import (
+            ChunkedPredictor,
+            LoadedModel,
+            predict_postprocess_batched,
+        )
 
         self.dm.setup("test")
         predictor = ChunkedPredictor(
@@ -358,9 +363,9 @@ class Trainer:
         )
         piece_metrics, datasets = [], []
         self.dm.predict_dataset = self.dm.test_dataset
-        for piece in self.dm.predict_pieces():
-            beat_logits, downbeat_logits = predictor.predict(piece["spect"])
-            beat, downbeat = self.postprocessor(beat_logits, downbeat_logits)
+        for piece, beat, downbeat in predict_postprocess_batched(
+            predictor, self.postprocessor, self.dm.predict_pieces()
+        ):
             m_beat = self.metrics(piece["truth_orig_beat"], beat, step="test")
             m_down = self.metrics(
                 piece["truth_orig_downbeat"], downbeat, step="test"

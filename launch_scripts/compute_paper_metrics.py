@@ -65,11 +65,13 @@ def model_setup(checkpoint, eval_trim_beats, dbn, float16=False):
 
 def compute_predictions(predictor, postprocessor, metrics, datamodule,
                         return_preds=False):
+    from beat_this_tpu.inference import predict_postprocess_batched
+
     print("Computing predictions ...")
     piece_metrics, datasets, pieces, preds = [], [], [], []
-    for piece in datamodule.predict_pieces():
-        beat_logits, downbeat_logits = predictor.predict(piece["spect"])
-        beat, downbeat = postprocessor(beat_logits, downbeat_logits)
+    for piece, beat, downbeat in predict_postprocess_batched(
+        predictor, postprocessor, datamodule.predict_pieces()
+    ):
         m_beat = metrics(piece["truth_orig_beat"], beat, step="test")
         m_down = metrics(piece["truth_orig_downbeat"], downbeat, step="test")
         piece_metrics.append(
