@@ -423,10 +423,24 @@ class BeatDataModule:
             self.initialized["predict"] = True
 
     # -- iterators ---------------------------------------------------------
-    def train_batches(self, accum_steps: int, seed: int = 0):
+    def train_batches(self, accum_steps: int, seed: int = 0,
+                      host_shard: tuple[int, int] = (0, 1)):
         """Infinite iterator of train batches shaped (accum, micro, ...),
         shuffled per epoch, drop-last (reference train loader:
-        dataset.py:448-456)."""
+        dataset.py:448-456).
+
+        `host_shard=(process_index, process_count)`: in multi-host data
+        parallelism every process derives the SAME global epoch order from
+        `seed`, but materializes only its contiguous slice of each global
+        batch's micro axis — micro size becomes batch_size / process_count
+        and no host ever assembles the full global batch."""
+        pid, n_hosts = host_shard
+        if self.batch_size % n_hosts:
+            raise ValueError(
+                f"batch_size {self.batch_size} must divide evenly over "
+                f"{n_hosts} processes"
+            )
+        local_bs = self.batch_size // n_hosts
         dataset = self.train_dataset
         rng = np.random.default_rng(seed)
         per_step = self.batch_size * accum_steps
@@ -438,12 +452,15 @@ class BeatDataModule:
         while True:
             order = rng.permutation(len(dataset))
             for i in range(0, len(order) - per_step + 1, per_step):
-                items = [dataset[j] for j in order[i : i + per_step]]
+                idx = order[i : i + per_step].reshape(
+                    accum_steps, self.batch_size
+                )[:, pid * local_bs : (pid + 1) * local_bs]
+                items = [dataset[j] for j in idx.ravel()]
                 batch = collate(items)
                 yield {
                     key: (
                         value.reshape(
-                            (accum_steps, self.batch_size) + value.shape[1:]
+                            (accum_steps, local_bs) + value.shape[1:]
                         )
                         if isinstance(value, np.ndarray)
                         else value

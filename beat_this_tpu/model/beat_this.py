@@ -305,19 +305,19 @@ def apply_beat_this(
             )
             return wrapped(p, x, rng)
     elif train:
-        # TPU kernel path: the flash / packed-attention custom VJPs carry
-        # O(N*d) residuals (q, k, v, o, lse) and regenerate dropout from the
-        # seed, so nothing quadratic is ever saved — skipping remat avoids
-        # recomputing every branch forward in the backward pass (~25% of the
-        # step). Peak activation memory at the reference batch (8 crops of
-        # 1500 frames per microbatch) is a few GB, well within HBM.
+        # TPU kernel path: the flash / packed-attention / fused-FF custom
+        # VJPs carry O(N*d) residuals (inputs, lse) and regenerate dropout
+        # from seeds, so nothing quadratic — and no FF hidden activations —
+        # is ever saved; skipping remat avoids recomputing every branch
+        # forward in the backward pass (~25% of the step). Peak activation
+        # memory at the reference batch (8 crops of 1500 frames per
+        # microbatch) is a few GB, well within HBM.
         def attention_fn(p, x, rope, heads, *, dropout_rate, rng):
             return attention_block(
                 p, x, rope, heads, dropout_rate=dropout_rate, rng=rng
             )
 
-        def ff_res(p, x, *, dropout_rate, rng):
-            return x + feed_forward(p, x, dropout_rate=dropout_rate, rng=rng)
+        ff_res = ff_residual
     else:
         attention_fn = attention_block
         ff_res = ff_residual

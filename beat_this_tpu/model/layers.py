@@ -224,14 +224,31 @@ def ff_residual(
     dropout_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """`x + feed_forward(x)`, fused into one Pallas kernel on the no-dropout
-    path (single read/write of the activations instead of ~6 passes)."""
-    if rng is None and _flash_enabled():
-        from beat_this_tpu.ops.fused_ff import fused_ff
+    """`x + feed_forward(x)`, fused into one Pallas kernel.
 
-        return fused_ff(
+    Eval (`rng is None`) uses the forward-only kernel; training uses the
+    custom-VJP twin with in-kernel seeded dropout, whose backward recomputes
+    the block from `x` — no hidden (n, 4*dim) activations or dropout masks
+    are saved to HBM between passes."""
+    if _flash_enabled():
+        if rng is None:
+            from beat_this_tpu.ops.fused_ff import fused_ff
+
+            return fused_ff(
+                x, params["norm_gamma"], params["w1"], params["b1"],
+                params["w2"], params["b2"],
+            )
+        from beat_this_tpu.ops.fused_ff import fused_ff_train
+
+        rate = float(dropout_rate)
+        seed = (
+            jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+            if rate > 0.0
+            else None
+        )
+        return fused_ff_train(
             x, params["norm_gamma"], params["w1"], params["b1"],
-            params["w2"], params["b2"],
+            params["w2"], params["b2"], dropout_rate=rate, seed=seed,
         )
     return x + feed_forward(params, x, dropout_rate=dropout_rate, rng=rng)
 

@@ -143,6 +143,8 @@ class Trainer:
     def log(self, record: dict):
         record = {k: (float(v) if hasattr(v, "item") else v) for k, v in record.items()}
         self.history.append(record)
+        if jax.process_index() != 0:
+            return
         printable = ", ".join(
             f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
             for k, v in record.items()
@@ -188,6 +190,8 @@ class Trainer:
         }
 
     def save_checkpoint(self, ts: TrainState, epoch: int, path=None):
+        if jax.process_index() != 0:
+            return None  # rank 0 writes; params are replicated
         path = Path(path) if path else (
             self.checkpoint_dir / f"{self.name}-S{self.seed}.ckpt"
         )
@@ -250,6 +254,14 @@ class Trainer:
             return arrays
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if jax.process_count() > 1:
+            # multi-host: `arrays` holds only this process's micro slice
+            # (dm.train_batches(host_shard=...)); assemble the global
+            # jax.Array from the per-process shards without any host ever
+            # materializing the full global batch
+            from beat_this_tpu.parallel.distributed import shard_host_batch
+
+            return shard_host_batch(arrays, self.mesh, P(None, "data"))
         sharding = NamedSharding(self.mesh, P(None, "data"))
         return {k: jax.device_put(v, sharding) for k, v in arrays.items()}
 
@@ -275,7 +287,10 @@ class Trainer:
         _, schedule = make_optimizer(self.tc)
 
         batches = _prefetch(
-            self.dm.train_batches(self.tc.accum_steps, seed=self.seed)
+            self.dm.train_batches(
+                self.tc.accum_steps, seed=self.seed,
+                host_shard=(jax.process_index(), jax.process_count()),
+            )
         )
         for epoch in range(start_epoch, self.max_epochs):
             epoch_losses = []

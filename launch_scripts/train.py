@@ -18,7 +18,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main(args):
     import numpy as np
 
+    from beat_this_tpu.parallel.distributed import maybe_initialize_distributed
+
     np.random.seed(args.seed)
+
+    if maybe_initialize_distributed():
+        import jax
+
+        print(
+            f"Multi-host run: process {jax.process_index()} of "
+            f"{jax.process_count()}, {len(jax.devices())} global devices"
+        )
 
     print("Starting a new run with the following parameters:")
     print(args)
