@@ -152,8 +152,18 @@ class BeatTrackingDataset:
         return len(self.items)
 
     def __getitem__(self, index):
+        return self.fetch(index)
+
+    def fetch(self, index, rng=None):
+        """Assemble one training/eval example. `rng` (a numpy Generator)
+        drives the augmentation choice, crop position and mask augmentation;
+        passing explicit per-item generators makes parallel batch assembly
+        deterministic regardless of thread scheduling
+        (BeatDataModule.train_batches)."""
+        if rng is None:
+            rng = self.rng
         item = self.items[index]
-        item = augment_pitchtempo(item, self.augmentations, self.rng)
+        item = augment_pitchtempo(item, self.augmentations, rng)
         spect = self._get_spect(item)
         original_length = len(spect)
         if self.train_length is not None:
@@ -164,13 +174,13 @@ class BeatTrackingDataset:
             if self.deterministic:
                 start_frame = longer // 2
             else:
-                start_frame = int(self.rng.integers(0, longer))
+                start_frame = int(rng.integers(0, longer))
             end_frame = start_frame + self.train_length
         else:
             start_frame, end_frame = 0, original_length
         spect = np.array(spect[start_frame:end_frame], dtype=np.float32)
         if "mask" in self.augmentations:
-            augment_mask_(spect, self.augmentations, self.fps, self.rng)
+            augment_mask_(spect, self.augmentations, self.fps, rng)
         (
             truth_beat,
             truth_downbeat,
@@ -443,30 +453,44 @@ class BeatDataModule:
         local_bs = self.batch_size // n_hosts
         dataset = self.train_dataset
         rng = np.random.default_rng(seed)
+        # independent stream for per-item randomness (crop position,
+        # augmentation choice, masking): one spawned child generator per
+        # GLOBAL batch slot, so (a) assembly can run on a thread pool with
+        # deterministic results regardless of scheduling and (b) every host
+        # of a multi-host run derives the same randomness for the same
+        # global slot
+        item_stream = np.random.default_rng([seed, 0x1517])
         per_step = self.batch_size * accum_steps
         if len(dataset) < per_step:
             raise ValueError(
                 f"training set ({len(dataset)} items) is smaller than one "
                 f"optimizer step ({per_step} = batch_size * accum_steps)"
             )
-        while True:
-            order = rng.permutation(len(dataset))
-            for i in range(0, len(order) - per_step + 1, per_step):
-                idx = order[i : i + per_step].reshape(
-                    accum_steps, self.batch_size
-                )[:, pid * local_bs : (pid + 1) * local_bs]
-                items = [dataset[j] for j in idx.ravel()]
-                batch = collate(items)
-                yield {
-                    key: (
-                        value.reshape(
-                            (accum_steps, local_bs) + value.shape[1:]
-                        )
-                        if isinstance(value, np.ndarray)
-                        else value
+        local = slice(pid * local_bs, (pid + 1) * local_bs)
+        with ThreadPoolExecutor(max_workers=max(self.num_workers, 1)) as pool:
+            while True:
+                order = rng.permutation(len(dataset))
+                for i in range(0, len(order) - per_step + 1, per_step):
+                    idx = order[i : i + per_step].reshape(
+                        accum_steps, self.batch_size
+                    )[:, local]
+                    kids = np.empty((per_step,), object)
+                    kids[:] = item_stream.spawn(per_step)
+                    kids = kids.reshape(accum_steps, self.batch_size)[:, local]
+                    items = list(
+                        pool.map(dataset.fetch, idx.ravel(), kids.ravel())
                     )
-                    for key, value in batch.items()
-                }
+                    batch = collate(items)
+                    yield {
+                        key: (
+                            value.reshape(
+                                (accum_steps, local_bs) + value.shape[1:]
+                            )
+                            if isinstance(value, np.ndarray)
+                            else value
+                        )
+                        for key, value in batch.items()
+                    }
 
     def steps_per_epoch(self, accum_steps: int) -> int:
         return len(self.train_dataset) // (self.batch_size * accum_steps)

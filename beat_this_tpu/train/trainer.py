@@ -295,8 +295,12 @@ class Trainer:
         for epoch in range(start_epoch, self.max_epochs):
             epoch_losses = []
             t0 = time.time()
+            data_wait = 0.0
             for _ in range(steps_per_epoch):
-                batch = self._shard_train_batch(next(batches))
+                tw = time.time()
+                host_batch = next(batches)
+                data_wait += time.time() - tw
+                batch = self._shard_train_batch(host_batch)
                 step_rng = jax.random.fold_in(eval_loop_rng, int(ts.step))
                 ts, parts = train_step(ts, batch, step_rng)
                 epoch_losses.append(parts)
@@ -306,12 +310,18 @@ class Trainer:
                 f"train_loss_{k}": float(np.mean([jax.device_get(p[k]) for p in epoch_losses]))
                 for k in ("beat", "downbeat", "total")
             }
+            elapsed = time.time() - t0
             self.log(
                 {
                     "epoch": epoch,
                     **losses,
                     "lr": float(schedule(int(jax.device_get(ts.step)))),
-                    "time_s": round(time.time() - t0, 1),
+                    "time_s": round(elapsed, 1),
+                    # time blocked waiting for host batch assembly: ~0 means
+                    # the input pipeline keeps ahead of the device; if it
+                    # approaches time_s, assembly is the bottleneck (SURVEY
+                    # §7 hard part 5)
+                    "data_wait_s": round(data_wait, 3),
                 }
             )
             if (epoch + 1) % self.val_frequency == 0:

@@ -181,6 +181,44 @@ def test_datamodule_splits_and_batches(corpus):
     assert piece["spect"].shape[1] == 128
 
 
+def test_train_batches_deterministic_across_worker_counts(corpus):
+    """Parallel batch assembly must be bit-reproducible: the per-item spawned
+    generators make the result independent of the thread count and of
+    scheduling order."""
+    def batches(num_workers, n=3):
+        dm = BeatDataModule(
+            corpus, batch_size=1, train_length=256, augmentations=AUGS,
+            test_dataset="gtzan", num_workers=num_workers, seed=3,
+        )
+        dm.setup("fit")
+        it = dm.train_batches(accum_steps=2, seed=11)
+        return [next(it) for _ in range(n)]
+
+    a, b = batches(1), batches(8)
+    for x, y in zip(a, b):
+        for key in ("spect", "truth_beat", "truth_downbeat", "padding_mask"):
+            np.testing.assert_array_equal(x[key], y[key], err_msg=key)
+
+
+def test_train_batches_host_shard_slices_global_batch(corpus):
+    """Two host shards must reproduce exactly the columns of the global
+    batch, including per-slot randomness."""
+    def grab(host_shard, batch_size=2):
+        dm = BeatDataModule(
+            corpus, batch_size=batch_size, train_length=256,
+            augmentations=AUGS, test_dataset="gtzan", seed=3,
+        )
+        dm.setup("fit")
+        return next(dm.train_batches(accum_steps=1, seed=5,
+                                     host_shard=host_shard))
+
+    full = grab((0, 1))
+    left = grab((0, 2))
+    right = grab((1, 2))
+    np.testing.assert_array_equal(full["spect"][:, :1], left["spect"])
+    np.testing.assert_array_equal(full["spect"][:, 1:], right["spect"])
+
+
 def test_positive_weights(corpus):
     dm = BeatDataModule(
         corpus, batch_size=2, train_length=256, augmentations={},
