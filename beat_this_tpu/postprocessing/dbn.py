@@ -210,6 +210,43 @@ def _viterbi_scan_batched(from_idx, log_probs, pointers, log_densities, valid,
     return final, choices
 
 
+@jax.jit
+def _backtrack(from_idx, choices, start):
+    """Reverse-scan backtracking on device: choices (T, S) int8, start
+    scalar -> path (T,) int32. STAY_CHOICE frames (bucket padding) keep the
+    carry unchanged, so the tail past the true length is a no-op."""
+    k = from_idx.shape[1]
+
+    def step(state, ch):
+        c = ch[state].astype(jnp.int32)
+        prev = from_idx[state, jnp.minimum(c, k - 1)]
+        prev = jnp.where(c == STAY_CHOICE, state, prev)
+        return prev, state
+
+    _, path = jax.lax.scan(
+        step, jnp.asarray(start, jnp.int32), choices, reverse=True
+    )
+    return path
+
+
+@jax.jit
+def _backtrack_batched(from_idx, choices, starts):
+    """Batched backtracking: choices (T, P, S), starts (P,) -> (T, P)."""
+    k = from_idx.shape[1]
+
+    def step(state, ch):  # state (P,), ch (P, S)
+        c = jnp.take_along_axis(ch, state[:, None], axis=1)[:, 0]
+        c = c.astype(jnp.int32)
+        prev = from_idx[state, jnp.minimum(c, k - 1)]
+        prev = jnp.where(c == STAY_CHOICE, state, prev)
+        return prev, state
+
+    _, path = jax.lax.scan(
+        step, starts.astype(jnp.int32), choices, reverse=True
+    )
+    return path
+
+
 def threshold_activations(activations: np.ndarray, threshold: float):
     """Trim leading/trailing frames where all activations are below the
     threshold; returns (trimmed, first_index) — madmom semantics."""
@@ -257,7 +294,9 @@ class DbnDecoder:
         dens[:, 2] = np.log(activations[:, 1])
         return dens
 
-    def _decode_pattern(self, hmm: PatternHmm, log_densities: np.ndarray):
+    def _forward_pattern(self, hmm: PatternHmm, log_densities: np.ndarray):
+        """Forward Viterbi pass only; backtracking is deferred until the
+        winning bar pattern is known (no point decoding losers)."""
         t_true = len(log_densities)
         t_pad = -(-t_true // _FRAME_BUCKET) * _FRAME_BUCKET
         dens = np.zeros((t_pad, 3), dtype=np.float32)
@@ -273,14 +312,8 @@ class DbnDecoder:
             hmm.num_states,
         )
         final = np.asarray(final)
-        choices = np.asarray(choices)[:t_true]
         state = int(np.argmax(final))
-        log_prob = float(final[state])
-        path = np.empty(t_true, dtype=np.int64)
-        for t in range(t_true - 1, -1, -1):
-            path[t] = state
-            state = int(hmm.from_idx[state, choices[t, state]])
-        return path, log_prob
+        return float(final[state]), state, choices
 
     def decode_many(self, activations_list) -> list[np.ndarray]:
         """Decode several pieces with batched Viterbi scans (pieces grouped
@@ -320,22 +353,38 @@ class DbnDecoder:
                     jnp.asarray(valid),
                     hmm.num_states,
                 )
-                per_pattern.append((np.asarray(final), np.asarray(choices)))
+                per_pattern.append((np.asarray(final), choices))
+            # winner pattern per piece, then ONE batched device backtrack per
+            # pattern over exactly the rows it won (reverse lax.scan; the
+            # losing pattern's lattice is never decoded)
+            best_states = np.stack(
+                [final.argmax(axis=1) for final, _ in per_pattern]
+            )  # (n_patterns, rows)
+            best_logps = np.stack(
+                [np.take_along_axis(final, s[:, None], 1)[:, 0]
+                 for (final, _), s in zip(per_pattern, best_states)]
+            )
+            winner = best_logps.argmax(axis=0)  # (rows,)
+            paths = {}
+            for pat, (hmm, (_, choices)) in enumerate(
+                zip(self.patterns, per_pattern)
+            ):
+                rows = np.flatnonzero(winner == pat)
+                if rows.size == 0:
+                    continue
+                got = np.asarray(_backtrack_batched(
+                    jnp.asarray(hmm.from_idx),
+                    choices[:, rows, :],
+                    jnp.asarray(best_states[pat, rows]),
+                ))  # (T_pad, len(rows))
+                for col, row in enumerate(rows):
+                    paths[row] = got[:, col]
             for row, i in enumerate(idxs):
                 act, first = items[i]
-                t_true = len(act)
-                best_pattern, best_path, best_logp = None, None, -np.inf
-                for hmm, (final, choices) in zip(self.patterns, per_pattern):
-                    state = int(np.argmax(final[row]))
-                    logp = float(final[row, state])
-                    if logp > best_logp:
-                        path = np.empty(t_true, dtype=np.int64)
-                        for t in range(t_true - 1, -1, -1):
-                            path[t] = state
-                            state = int(hmm.from_idx[state, choices[t, row, state]])
-                        best_pattern, best_path, best_logp = hmm, path, logp
                 outputs[i] = self._path_to_beats(
-                    best_pattern, best_path, act, first
+                    self.patterns[winner[row]],
+                    paths[row][: len(act)].astype(np.int64),
+                    act, first,
                 )
         return outputs
 
@@ -348,10 +397,13 @@ class DbnDecoder:
         if not activations.any():
             return np.empty((0, 2))
         log_densities = self._log_densities(activations)
-        results = [self._decode_pattern(h, log_densities) for h in self.patterns]
-        best = int(np.argmax([r[1] for r in results]))
-        path, _ = results[best]
+        results = [self._forward_pattern(h, log_densities) for h in self.patterns]
+        best = int(np.argmax([r[0] for r in results]))
+        _, state, choices = results[best]
         hmm = self.patterns[best]
+        path = np.asarray(
+            _backtrack(jnp.asarray(hmm.from_idx), choices, state)
+        )[: len(activations)].astype(np.int64)
         return self._path_to_beats(hmm, path, activations, first)
 
     def _path_to_beats(self, hmm: PatternHmm, path: np.ndarray,

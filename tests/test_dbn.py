@@ -49,7 +49,14 @@ def test_viterbi_matches_dense_oracle(num_beats):
     act[::12, 0] = 0.8  # periodic beat evidence
     act[:, 1] *= 0.1
     dens = decoder._log_densities(act)
-    path, logp = decoder._decode_pattern(hmm, dens)
+    import jax.numpy as jnp
+
+    from beat_this_tpu.postprocessing.dbn import _backtrack
+
+    logp, state, choices = decoder._forward_pattern(hmm, dens)
+    path = np.asarray(
+        _backtrack(jnp.asarray(hmm.from_idx), choices, state)
+    )[: len(dens)]
     opath, ologp = dense_viterbi_oracle(hmm, dens)
     np.testing.assert_allclose(logp, ologp, rtol=1e-5)
     # paths may differ only at exact ties; scores must match throughout

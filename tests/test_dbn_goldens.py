@@ -316,7 +316,15 @@ def test_viterbi_path_matches_independent_dense_decoder(num_beats):
         beats_per_bar=(num_beats,), min_bpm=min_bpm, max_bpm=max_bpm,
         fps=FPS, transition_lambda=lam, threshold=0,
     )
-    path_prod, logp_prod = decoder._decode_pattern(decoder.patterns[0], dens)
+    from beat_this_tpu.postprocessing.dbn import _backtrack
+
+    import jax.numpy as jnp
+
+    hmm = decoder.patterns[0]
+    logp_prod, state, choices = decoder._forward_pattern(hmm, dens)
+    path_prod = np.asarray(
+        _backtrack(jnp.asarray(hmm.from_idx), choices, state)
+    )[: len(dens)]
     np.testing.assert_allclose(logp_prod, logp_ind, rtol=1e-5)
     np.testing.assert_array_equal(path_prod, path_ind)
 
