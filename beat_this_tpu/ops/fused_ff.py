@@ -129,11 +129,26 @@ _SITE_HID, _SITE_OUT = 0, 1
 
 
 def _train_block_rows(dtype) -> int:
-    """Row-block size for the training kernels, chosen so that the backward's
-    VMEM-resident intermediates (g, pre1, h1, d_h1, d_pre1 at (rows, 4c))
-    plus both weight matrices stay inside the ~16 MB scoped-VMEM budget at
-    c = 512, m = 2048."""
+    """Row-block size for the training kernels. At c = 512, m = 2048 the
+    float32 backward's VMEM stack is dominated by the four weight-sized
+    buffers (w1, w2, dw1, dw2 = 16 MB alone), so shrinking the row block
+    barely helps (measured: 17.5 MB at 128 rows, 16.8 MB at 64); those
+    calls instead raise the Mosaic scoped-VMEM limit (`_vmem_params`).
+    bfloat16 weights halve that footprint and 256 rows fit the default."""
     return 256 if dtype == jnp.bfloat16 else 128
+
+
+def _vmem_params(dtype, interpret):
+    """Raise the scoped-VMEM ceiling for the float32 training kernels: the
+    default 16 MB cannot hold two f32 (512, 2048) weight matrices plus their
+    gradient accumulators; the physical VMEM budget (128 MB on v5e) can."""
+    if interpret or pltpu is None or dtype == jnp.bfloat16:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        )
+    }
 
 
 def _ff_train_kernel(seed_ref, x_ref, gamma_ref, w1_ref, b1_ref, w2_ref,
@@ -298,6 +313,7 @@ def _fused_ff_train(x, gamma, w1, b1, w2, b2, seed, interpret, rate):
         out_specs=pl.BlockSpec((block, c), lambda i: (i, 0), **kwargs),
         out_shape=jax.ShapeDtypeStruct((padded, c), x.dtype),
         interpret=interpret,
+        **_vmem_params(x.dtype, interpret),
     )(*ops)
     return out[:rows].reshape(x.shape)
 
@@ -341,6 +357,7 @@ def _fused_ff_train_bwd(interpret, rate, residuals, do):
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ),
         interpret=interpret,
+        **_vmem_params(x.dtype, interpret),
     )(*ops, do2)
     return (
         dx[:rows].reshape(x.shape),
