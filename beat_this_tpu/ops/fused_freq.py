@@ -51,6 +51,17 @@ _PACK_ROWS = 128  # rows per packed attention score matrix
 _BLOCK_ROWS = 1024  # activation rows per forward grid program
 _BLOCK_ROWS_BWD = 512  # smaller: the backward holds many more live buffers
 _HEAD_DIM = 32
+# Eval-only score-tile width: the no-dropout forward computes block-diagonal
+# scores in (_SCORE_ROWS_EVAL, _SCORE_ROWS_EVAL) tiles instead of per-pack
+# (128, 128) ones. The off-diagonal area is masked waste, but one
+# (512, 32) x (32, 512) MXU dot beats four serial (128, 32) x (32, 128)
+# dots on the Mosaic pipeline when the per-head loop multiplies the dot
+# count (measured ~13% at C=128/4 heads, ~2% at C=64/2 heads, no win at
+# C=32/1 head — see tools/bench_fused_freq_rows.py --score-rows; the
+# heads > 1 gate below). Training keeps 128-row packs: the attention-
+# dropout masks are salted per (pack, head) and must regenerate
+# identically in the backward kernel.
+_SCORE_ROWS_EVAL = 512
 
 # dropout site ids (mixed into the PRNG salt)
 _SITE_ATTN, _SITE_ATTN_OUT, _SITE_FF_HID, _SITE_FF_OUT = 0, 1, 2, 3
@@ -134,6 +145,14 @@ def _attention(qkv, c, heads, f, cos, sin, same, seed_ref, rate, dtype,
     from beat_this_tpu.ops.small_attention import _packed_exp
 
     rows = qkv.shape[0]
+    if (
+        rate == 0.0
+        and not want_stash
+        and heads > 1  # measured: no win at heads == 1 (C = 32)
+        and _SCORE_ROWS_EVAL > _PACK_ROWS
+        and rows % min(_SCORE_ROWS_EVAL, rows) == 0  # no silent tail drop
+    ):
+        return _attention_wide(qkv, c, heads, f, cos, sin, dtype)
     pack_outs = []
     stash = []
     for p in range(rows // _PACK_ROWS):
@@ -165,6 +184,69 @@ def _attention(qkv, c, heads, f, cos, sin, same, seed_ref, rate, dtype,
         )
     o = pack_outs[0] if len(pack_outs) == 1 else jnp.concatenate(pack_outs, axis=0)
     return (o, stash) if want_stash else o
+
+
+def _attention_wide(qkv, c, heads, f, cos, sin, dtype):
+    """Eval-only packed attention over (_SCORE_ROWS_EVAL,)-row score tiles.
+
+    Mathematically identical to the per-pack path: cross-item score entries
+    are masked to -inf before the softmax, so they contribute exp2(-inf)=0
+    to both the numerator and the row sums. Computing the wasted
+    off-diagonal area is still a net win — the kernel's serial tiny dots
+    are pipeline-latency bound, not FLOPs bound (tools/bench_fused_freq_rows.py).
+    """
+    from beat_this_tpu.ops.flash_attention import LOG2E, rope_rotate
+
+    rows = qkv.shape[0]
+    sr = min(_SCORE_ROWS_EVAL, rows)
+    reps = sr // _PACK_ROWS
+    cos_w = jnp.tile(cos, (reps, 1))  # tables repeat every 128 packed rows
+    sin_w = jnp.tile(sin, (reps, 1))
+    same = (
+        jax.lax.broadcasted_iota(jnp.int32, (sr, sr), 0) // f
+        == jax.lax.broadcasted_iota(jnp.int32, (sr, sr), 1) // f
+    )
+    scale = _HEAD_DIM**-0.5
+    tile_outs = []
+    for sb in range(rows // sr):
+        sl = slice(sb * sr, (sb + 1) * sr)
+        head_outs = []
+        for h in range(heads):
+            d0 = h * _HEAD_DIM
+            q = (
+                rope_rotate(
+                    qkv[sl, d0 : d0 + _HEAD_DIM].astype(jnp.float32),
+                    cos_w, sin_w,
+                )
+                * (scale * LOG2E)
+            ).astype(dtype)
+            k = rope_rotate(
+                qkv[sl, c + d0 : c + d0 + _HEAD_DIM].astype(jnp.float32),
+                cos_w, sin_w,
+            ).astype(dtype)
+            v = qkv[sl, 2 * c + d0 : 2 * c + d0 + _HEAD_DIM]
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = jnp.where(same, s, -jnp.inf)
+            e = jnp.exp2(s - jnp.max(s, axis=1, keepdims=True))
+            l = jnp.sum(e, axis=1, keepdims=True)
+            head_outs.append(
+                (
+                    jax.lax.dot_general(
+                        e.astype(dtype), v,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    / l
+                ).astype(dtype)
+            )
+        tile_outs.append(
+            head_outs[0] if heads == 1 else jnp.concatenate(head_outs, axis=1)
+        )
+    return tile_outs[0] if len(tile_outs) == 1 else jnp.concatenate(tile_outs, axis=0)
 
 
 def _gates_sig(g, wg_ref, bg_ref):
