@@ -36,6 +36,8 @@ from beat_this_tpu.model.layers import (
     ff_residual,
     freq_roformer,
     rms_norm,
+    time_attention_train,
+    time_roformer,
 )
 from beat_this_tpu.ops.rotary import rope_tables
 
@@ -311,12 +313,10 @@ def apply_beat_this(
         # is ever saved; skipping remat avoids recomputing every branch
         # forward in the backward pass (~25% of the step). Peak activation
         # memory at the reference batch (8 crops of 1500 frames per
-        # microbatch) is a few GB, well within HBM.
-        def attention_fn(p, x, rope, heads, *, dropout_rate, rng):
-            return attention_block(
-                p, x, rope, heads, dropout_rate=dropout_rate, rng=rng
-            )
-
+        # microbatch) is a few GB, well within HBM. On this path attention_fn
+        # only ever sees time-axis sequences (the freq blocks route through
+        # freq_roformer), so it takes the fused whole-branch time kernel.
+        attention_fn = time_attention_train
         ff_res = ff_residual
     else:
         attention_fn = attention_block
@@ -368,19 +368,25 @@ def apply_beat_this(
             # time-axis roformer: -> (B*F, T, C)
             ht = hf.reshape(b, t, n_freq, dim).transpose(0, 2, 1, 3)
             ht = ht.reshape(b * n_freq, t, dim)
-            if tmask is None:
-                ht = ht + attention_fn(
-                    p["attnT"], ht, rope_time, heads,
-                    dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1),
-                )
+            if tmask is None and not train:
+                # eval: the whole time block is one fused Pallas kernel on
+                # TPU (ops/fused_time.py); composable fallback elsewhere
+                ht = time_roformer(p["attnT"], p["ffT"], ht, rope_time, heads)
             else:
-                ht = ht + attention_block(
-                    p["attnT"], ht, rope_time, heads,
-                    key_mask=jnp.repeat(tmask, n_freq, axis=0),
+                if tmask is None:
+                    ht = ht + attention_fn(
+                        p["attnT"], ht, rope_time, heads,
+                        dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1),
+                    )
+                else:
+                    ht = ht + attention_block(
+                        p["attnT"], ht, rope_time, heads,
+                        key_mask=jnp.repeat(tmask, n_freq, axis=0),
+                    )
+                ht = ff_res(
+                    p["ffT"], ht, dropout_rate=drop_f,
+                    rng=next_rng(rng_i := rng_i + 1),
                 )
-            ht = ff_res(
-                p["ffT"], ht, dropout_rate=drop_f, rng=next_rng(rng_i := rng_i + 1)
-            )
             h = ht.reshape(b, n_freq, t, dim).transpose(0, 2, 1, 3)
         h = zero_tail(h)
         h = conv2d_tf(block["conv"]["w"], h, stride_freq=2, pad_time=1)
@@ -397,19 +403,28 @@ def apply_beat_this(
 
     # --- main transformer ---
     for layer in params["transformer"]["layers"]:
-        if tmask is None:
-            h = h + attention_fn(
-                layer["attn"], h, rope_time, c.transformer_dim // c.head_dim,
-                dropout_rate=drop_t, rng=next_rng(rng_i := rng_i + 1),
+        if tmask is None and not train:
+            h = time_roformer(
+                layer["attn"], layer["ff"], h, rope_time,
+                c.transformer_dim // c.head_dim,
             )
         else:
-            h = h + attention_block(
-                layer["attn"], h, rope_time, c.transformer_dim // c.head_dim,
-                key_mask=tmask,
+            if tmask is None:
+                h = h + attention_fn(
+                    layer["attn"], h, rope_time,
+                    c.transformer_dim // c.head_dim,
+                    dropout_rate=drop_t, rng=next_rng(rng_i := rng_i + 1),
+                )
+            else:
+                h = h + attention_block(
+                    layer["attn"], h, rope_time,
+                    c.transformer_dim // c.head_dim,
+                    key_mask=tmask,
+                )
+            h = ff_res(
+                layer["ff"], h, dropout_rate=drop_t,
+                rng=next_rng(rng_i := rng_i + 1),
             )
-        h = ff_res(
-            layer["ff"], h, dropout_rate=drop_t, rng=next_rng(rng_i := rng_i + 1)
-        )
     h = rms_norm(h, params["transformer"]["norm_gamma"])
 
     # --- heads (float32, reference beat_this/model/beat_tracker.py:315-330) ---

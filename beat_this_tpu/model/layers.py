@@ -299,6 +299,91 @@ def freq_roformer(
     return ff_residual(ff_params, x, dropout_rate=dropout_rate, rng=rng_f)
 
 
+@functools.lru_cache(maxsize=1)
+def _fused_time_enabled() -> bool:
+    import os
+
+    return not os.environ.get("BEAT_THIS_NO_FUSED_TIME")
+
+
+@functools.lru_cache(maxsize=1)
+def _fused_time_train_enabled() -> bool:
+    import os
+
+    return not os.environ.get("BEAT_THIS_NO_FUSED_TIME_TRAIN")
+
+
+def time_attention_train(
+    attn_params: dict,
+    x: jnp.ndarray,
+    rope: tuple[jnp.ndarray, jnp.ndarray],
+    heads: int,
+    *,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Training-time time-axis attention residual BRANCH (caller adds x).
+
+    On TPU the whole branch — norm, fused qkv, in-kernel RoPE, whole-
+    sequence attention with in-kernel seeded dropout, per-head gating, out
+    projection, out dropout — is ONE Pallas kernel with a custom VJP whose
+    backward recomputes the branch from `x` (`ops/fused_time.py`). Compared
+    to the flash path it stops paying HBM round trips for the norm, the
+    (n, 3C) qkv tensor, the per-head split, and the gate/out-proj chain in
+    BOTH passes. Falls back to `attention_block` off-TPU or when disabled
+    via BEAT_THIS_NO_FUSED_TIME_TRAIN."""
+    if (
+        x.shape[1] >= FLASH_MIN_SEQ
+        and x.shape[-1] == heads * 32
+        and _flash_enabled()
+        and _fused_time_train_enabled()
+    ):
+        from beat_this_tpu.ops.fused_time import fused_time_attention_train
+
+        rate = float(dropout_rate) if rng is not None else 0.0
+        seed = (
+            jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+            if rate > 0.0
+            else None
+        )
+        return fused_time_attention_train(
+            x, attn_params, rope[0], rope[1], heads,
+            dropout_rate=rate, seed=seed,
+        )
+    return attention_block(
+        attn_params, x, rope, heads, dropout_rate=dropout_rate, rng=rng
+    )
+
+
+def time_roformer(
+    attn_params: dict,
+    ff_params: dict,
+    x: jnp.ndarray,
+    rope: tuple[jnp.ndarray, jnp.ndarray],
+    heads: int,
+) -> jnp.ndarray:
+    """One time-axis roformer block on (items, T, C) at eval (no dropout):
+    `x + attention; + feed_forward`. On TPU the whole block — norm, qkv,
+    RoPE, whole-sequence attention, gates, out projection, residual, FF —
+    runs as ONE Pallas kernel (`ops/fused_time.py`): the chain is HBM-bound,
+    and the fusion reads/writes each sequence once instead of ~8 times.
+    Training and masked (short-piece) batches keep the composable path."""
+    if (
+        x.shape[1] >= FLASH_MIN_SEQ
+        and x.shape[-1] == heads * 32
+        and (heads <= 2 or heads % 4 == 0)
+        and _flash_enabled()
+        and _fused_time_enabled()
+    ):
+        from beat_this_tpu.ops.fused_time import fused_time_roformer
+
+        return fused_time_roformer(
+            x, attn_params, ff_params, rope[0], rope[1], heads
+        )
+    x = x + attention_block(attn_params, x, rope, heads)
+    return ff_residual(ff_params, x)
+
+
 def batch_norm_apply(
     params: dict,
     x: jnp.ndarray,

@@ -289,6 +289,22 @@ def _specs(interpret):
     return kwargs
 
 
+def _train_vmem_params(interpret):
+    """Raise the Mosaic scoped-VMEM ceiling for the training-path kernels
+    (lse forward + both backwards). Mosaic stack-allocates each unrolled
+    k/q-block iteration's (block_q, block_k) float32 score transients
+    without cross-iteration reuse, so blocks above 512 overflow the 16 MB
+    default (measured: 16.59 MB at block 1024 lse-forward, 23.54 MB at the
+    dkv kernel) while the physical budget (128 MB on v5e) is far away."""
+    if interpret or pltpu is None:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
+    }
+
+
 def _pad_seq(x, n_pad):
     return jnp.pad(x, ((0, 0), (0, n_pad - x.shape[1]), (0, 0)))
 
@@ -315,15 +331,20 @@ def _train_block_cap() -> int:
     backward kernels. They must tile identically: the in-kernel dropout
     masks are salted by (head, q-block, k-block) INDEX and shaped per
     block, so any geometry mismatch makes the backward regenerate different
-    masks than the forward applied — silently corrupting gradients. 512
-    also keeps the backward's several (block_q, block_k) float32
-    intermediates (s, p, dp, mask) inside the 16 MB scoped-VMEM budget.
-    Overridable for sweeps via BEAT_THIS_FLASH_BWD_CAP (clear jit caches
-    when changing it mid-process: jit keys only on static args, so stale
-    executables built with the old cap are otherwise reused silently)."""
+    masks than the forward applied — silently corrupting gradients.
+
+    Default 1536: one whole-sequence block at the model's n=1500 shapes.
+    Measured on the v5e (full train step, bs 8 x accum 8): 512 -> 1.251 s,
+    1024 -> 1.357 s (q pads 1500 -> 2048, 27% wasted rows), 1536 -> 1.168 s.
+    Blocks above 512 need the raised scoped-VMEM ceiling from
+    _train_vmem_params (the f32 score transients overflow the 16 MB
+    default). Overridable for sweeps via BEAT_THIS_FLASH_BWD_CAP (clear jit
+    caches when changing it mid-process: jit keys only on static args, so
+    stale executables built with the old cap are otherwise reused
+    silently)."""
     import os
 
-    cap = int(os.environ.get("BEAT_THIS_FLASH_BWD_CAP", "512"))
+    cap = int(os.environ.get("BEAT_THIS_FLASH_BWD_CAP", "1536"))
     if cap < 128 or cap % 128:
         raise ValueError(
             f"BEAT_THIS_FLASH_BWD_CAP={cap} invalid: must be a multiple of "
@@ -390,6 +411,7 @@ def _flash_forward(q, k, v, seed, cos, sin, block_q, block_k, interpret, rate,
             jax.ShapeDtypeStruct((bh, n_q_pad, 1), jnp.float32),
         ),
         interpret=interpret,
+        **_train_vmem_params(interpret),
     )(*args)
     return out[:, :n, :], lse
 
@@ -444,6 +466,7 @@ def _flash_backward(q, k, v, o, lse_pad, do, seed, cos, sin, block_q,
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
         interpret=interpret,
+        **_train_vmem_params(interpret),
     )(seed, qp, kp, vp, cosf, sinf, dop, lse_pad, deltap)
 
     dk, dv = pl.pallas_call(
@@ -459,6 +482,7 @@ def _flash_backward(q, k, v, o, lse_pad, do, seed, cos, sin, block_q,
             jax.ShapeDtypeStruct((bh, n_k_pad, d), q.dtype),
         ),
         interpret=interpret,
+        **_train_vmem_params(interpret),
     )(seed, qp, kp, vp, cosf, sinf, dop, lse_pad, deltap)
     return dq[:, :n, :], dk[:, :n, :], dv[:, :n, :]
 

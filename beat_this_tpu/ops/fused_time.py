@@ -1,0 +1,698 @@
+"""Fused time-axis roformer block (eval) as one Pallas kernel.
+
+The eval profile (see DESIGN.md §3) shows the time-axis attention chains —
+the frontend partial transformers' time direction and the six main
+transformer layers — are HBM-bound: the XLA + flash-kernel composition takes
+~8 full memory passes over the (seq, dim) activations per block (norm, qkv
+matmul boundary, q/k/v head split, attention kernel in/out, gates, out
+projection, residual, FF), while the arithmetic itself is capped well below
+peak by the model's head_dim of 32 (a K=32 contraction fills 1/4 of the MXU's
+depth). This kernel runs the ENTIRE pre-norm roformer block — RMSNorm, fused
+qkv projection, in-kernel RoPE, whole-sequence softmax attention, per-head
+sigmoid gating, output projection, residual, and the feed-forward residual —
+reading each sequence once from HBM and writing it once.
+
+Geometry: grid = (items, head_groups). Each program owns one full (padded)
+sequence and up to 4 heads (128 lanes of the fused qkv weight — the native
+MXU tile width). The q/k/v projections are column-partitioned across head
+groups, so no FLOPs are duplicated; only the (cheap, VPU-bound) RMSNorm is
+recomputed per group. Group partial outputs accumulate into a float32
+VMEM scratch that persists across the sequential grid; the last group adds
+the residual feed-forward and writes the block's final output. Because the
+x/output blocks keep the same index across the group dimension, Mosaic
+fetches/writes them exactly once per item.
+
+Whole-sequence (1536 x 1536) float32 score tiles replace the flash online-
+softmax recurrence: at these sizes K/V fit VMEM outright, so the two-pass
+max/sum is unnecessary, and the raised scoped-VMEM ceiling (the same story
+as ops/flash_attention._train_vmem_params) covers the transients.
+
+Eval only (no dropout, no VJP): training keeps the flash-attention custom-VJP
+path, whose in-kernel dropout mask geometry is already validated by the TPU
+gate. Matches layers.attention_block + layers.ff_residual semantics
+(reference: beat_this/model/roformer.py:38-132) to bfloat16 accuracy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from beat_this_tpu.ops.flash_attention import LOG2E, rope_rotate
+from beat_this_tpu.ops.fused_ff import _gelu_exact
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _MEMORY_SPACE = pltpu.VMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _MEMORY_SPACE = None
+
+_HEAD_DIM = 32  # the model's only head size (hardcoded like ops/fused_freq)
+_MAX_HEADS_PER_GROUP = 4  # 4 x 32 = 128 lanes: one MXU tile of qkv columns
+
+
+def fused_time_available() -> bool:
+    return _MEMORY_SPACE is not None
+
+
+def _rms(x32, gamma_row):
+    norm = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True))
+    c = x32.shape[-1]
+    return x32 / jnp.maximum(norm, 1e-12) * (c**0.5) * gamma_row
+
+
+def _kernel(x_ref, agamma_ref, wq_ref, wk_ref, wv_ref, wg_ref, gb_ref,
+            wo_ref, fgamma_ref, w1_ref, b1_ref, w2_ref, b2_ref, cos_ref,
+            sin_ref, o_ref, acc_ref, *, n, gh, groups):
+    grp = pl.program_id(1)
+    x = x_ref[0]  # (n_pad, C)
+    n_pad, c = x.shape
+    x32 = x.astype(jnp.float32)
+    gn = _rms(x32, agamma_ref[...])  # (n_pad, C) float32
+    gnb = gn.astype(wq_ref.dtype)
+
+    def _proj(w_ref):
+        return jax.lax.dot_general(
+            gnb, w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n_pad, gh * 32) float32
+
+    q_all = _proj(wq_ref)
+    k_all = _proj(wk_ref)
+    v_all = _proj(wv_ref).astype(x.dtype)
+    cos = cos_ref[0]
+    sin = sin_ref[0]
+    scale = _HEAD_DIM**-0.5
+
+    head_outs = []
+    for j in range(gh):
+        hsl = slice(j * _HEAD_DIM, (j + 1) * _HEAD_DIM)
+        # scale * log2(e) folded into q: scores come out in base-2 units
+        q = (rope_rotate(q_all[:, hsl], cos, sin) * (scale * LOG2E)).astype(
+            x.dtype
+        )
+        k = rope_rotate(k_all[:, hsl], cos, sin).astype(x.dtype)
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n_pad, n_pad)
+        if n_pad > n:  # mask key padding (cols beyond the real length)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o_h = (
+            jax.lax.dot_general(
+                p.astype(x.dtype), v_all[:, hsl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            / l
+        )  # (n_pad, 32) float32
+        # per-head sigmoid gate from the normed input
+        gate = jax.nn.sigmoid(
+            jnp.sum(gn * wg_ref[j, :][None, :], axis=1, keepdims=True)
+            + gb_ref[0, j]
+        )
+        head_outs.append((o_h * gate).astype(x.dtype))
+
+    group_out = (
+        head_outs[0] if gh == 1 else jnp.concatenate(head_outs, axis=1)
+    )  # (n_pad, gh * 32)
+    part = jax.lax.dot_general(
+        group_out, wo_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (n_pad, C) float32
+
+    @pl.when(grp == 0)
+    def _init():
+        acc_ref[...] = x32 + part
+
+    if groups > 1:
+
+        @pl.when(grp > 0)
+        def _accum():
+            acc_ref[...] += part
+
+    @pl.when(grp == groups - 1)
+    def _finish():
+        y1 = acc_ref[...]
+        g2 = _rms(y1, fgamma_ref[...]).astype(w1_ref.dtype)
+        h = (
+            jax.lax.dot_general(
+                g2, w1_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b1_ref[...]
+        )
+        h = _gelu_exact(h)
+        y2 = (
+            jax.lax.dot_general(
+                h.astype(w2_ref.dtype), w2_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b2_ref[...]
+        )
+        o_ref[0] = (y1 + y2).astype(o_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Training path: whole attention residual branch with in-kernel dropout and a
+# custom VJP whose backward recomputes everything from x (fused_freq-style).
+# The FF residual keeps its own fused kernel (ops/fused_ff.fused_ff_train).
+# ---------------------------------------------------------------------------
+
+# dropout sites mixed into the PRNG salt (see ops/fused_freq._dropmask);
+# the attention-probability site is salted per head via `sub`
+_SITE_ATTN, _SITE_OUT = 0, 1
+
+
+def _heads_pad(heads):
+    return -(-heads // 8) * 8
+
+
+def _attn_fwd_head(qkv, h, c, cos, sin, seed_ref, rate, n, dtype):
+    """Recompute one head's attention: returns (o_h float32 (n_pad, 32),
+    dropped-normalized probs A (n_pad, n_pad) in `dtype`, p2 float32)."""
+    from beat_this_tpu.ops.fused_freq import _dropmask
+
+    d = _HEAD_DIM
+    scale = d**-0.5
+    q_r = rope_rotate(qkv[:, h * d : (h + 1) * d].astype(jnp.float32), cos, sin)
+    k_r = rope_rotate(
+        qkv[:, c + h * d : c + (h + 1) * d].astype(jnp.float32), cos, sin
+    ).astype(dtype)
+    v = qkv[:, 2 * c + h * d : 2 * c + (h + 1) * d]
+    q_s = (q_r * (scale * LOG2E)).astype(dtype)
+    s = jax.lax.dot_general(
+        q_s, k_r,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    n_pad = s.shape[0]
+    if n_pad > n:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n, s, -jnp.inf)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p_un = jnp.exp2(s - m)
+    l = jnp.sum(p_un, axis=1, keepdims=True)
+    p2 = p_un / l  # normalized, undropped probabilities
+    if rate > 0.0:
+        a = p2 * _dropmask(
+            seed_ref, pl.program_id(0), _SITE_ATTN, h, p2.shape, rate
+        )
+    else:
+        a = p2
+    a = a.astype(dtype)
+    o_h = jax.lax.dot_general(
+        a, v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return o_h, a, p2, q_r, k_r, v
+
+
+def _gate_of(gn, wg_ref, gb_ref, h):
+    z = (
+        jnp.sum(gn * wg_ref[h, :][None, :], axis=1, keepdims=True)
+        + gb_ref[0, h]
+    )
+    return jax.nn.sigmoid(z)
+
+
+def _attn_train_kernel(seed_ref, x_ref, agamma_ref, wqkv_ref, wg_ref, gb_ref,
+                       wo_ref, cos_ref, sin_ref, o_ref, *, n, heads, rate):
+    from beat_this_tpu.ops.fused_freq import _dropmask, _rms_parts
+
+    x32 = x_ref[0].astype(jnp.float32)
+    c = x32.shape[-1]
+    dtype = x_ref.dtype
+    gn, _, _ = _rms_parts(x32, agamma_ref[...])
+    qkv = jax.lax.dot_general(
+        gn.astype(wqkv_ref.dtype), wqkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    cos = cos_ref[0]
+    sin = sin_ref[0]
+    outs = []
+    for h in range(heads):
+        o_h, _, _, _, _, _ = _attn_fwd_head(
+            qkv, h, c, cos, sin, seed_ref, rate, n, dtype
+        )
+        gate = _gate_of(gn, wg_ref, gb_ref, h)
+        outs.append((o_h * gate).astype(dtype))
+    group_out = outs[0] if heads == 1 else jnp.concatenate(outs, axis=1)
+    out = jax.lax.dot_general(
+        group_out, wo_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if rate > 0.0:
+        out = out * _dropmask(
+            seed_ref, pl.program_id(0), _SITE_OUT, 0, out.shape, rate
+        )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wqkv_ref, wg_ref,
+                           gb_ref, wo_ref, cos_ref, sin_ref, do_ref,
+                           dx_ref, dgamma_ref, dwqkv_ref, dwgt_ref, dgb_ref,
+                           dwo_ref, *, n, heads, rate):
+    from beat_this_tpu.ops.fused_freq import _dropmask, _rms_bwd, _rms_parts
+    from beat_this_tpu.ops.flash_attention import rope_rotate_inv
+
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _init():
+        for ref in (dgamma_ref, dwqkv_ref, dwgt_ref, dgb_ref, dwo_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    x32 = x_ref[0].astype(jnp.float32)
+    c = x32.shape[-1]
+    d = _HEAD_DIM
+    scale = d**-0.5
+    dtype = x_ref.dtype
+    gn, nrm, r = _rms_parts(x32, agamma_ref[...])
+    gnb = gn.astype(wqkv_ref.dtype)
+    qkv = jax.lax.dot_general(
+        gnb, wqkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    cos = cos_ref[0]
+    sin = sin_ref[0]
+
+    do32 = do_ref[0].astype(jnp.float32)
+    d_branch = do32
+    if rate > 0.0:
+        d_branch = d_branch * _dropmask(
+            seed_ref, pid, _SITE_OUT, 0, d_branch.shape, rate
+        )
+    d_branch_b = d_branch.astype(dtype)
+    d_go = jax.lax.dot_general(
+        d_branch_b, wo_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (n_pad, C)
+
+    d_gn = jnp.zeros_like(gn)
+    go_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
+    for h in range(heads):
+        o_h, a, p2, q_r, k_r, v = _attn_fwd_head(
+            qkv, h, c, cos, sin, seed_ref, rate, n, dtype
+        )
+        gate = _gate_of(gn, wg_ref, gb_ref, h)
+        go_parts.append((o_h * gate).astype(dtype))
+        d_go_h = d_go[:, h * d : (h + 1) * d]
+        d_o = d_go_h * gate
+        # gate pullback: z = gn . wg_h + b_h, gate = sigmoid(z)
+        d_z = (
+            jnp.sum(d_go_h * o_h, axis=1, keepdims=True) * gate * (1.0 - gate)
+        )
+        d_gn += d_z * wg_ref[h, :][None, :]
+        dwgt_ref[h : h + 1, :] += jnp.sum(d_z * gn, axis=0, keepdims=True)
+        dgb_ref[h : h + 1, :] += jnp.broadcast_to(
+            jnp.sum(d_z).reshape(1, 1), (1, dgb_ref.shape[1])
+        )
+        # attention pullback (flash-attention formulas; p2 = normalized
+        # undropped probs, o_h/a include dropout)
+        delta = jnp.sum(d_o * o_h, axis=1, keepdims=True)
+        d_o_b = d_o.astype(dtype)
+        dp = jax.lax.dot_general(
+            d_o_b, v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            dp = dp * _dropmask(
+                seed_ref, pid, _SITE_ATTN, h, dp.shape, rate
+            )
+        ds = (p2 * (dp - delta)).astype(dtype)
+        dq_parts.append(
+            rope_rotate_inv(
+                jax.lax.dot_general(
+                    ds, k_r,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ),
+                cos, sin,
+            )
+            * scale
+        )
+        dk_parts.append(
+            rope_rotate_inv(
+                jax.lax.dot_general(
+                    ds, q_r.astype(dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ),
+                cos, sin,
+            )
+            * scale
+        )
+        dv_parts.append(
+            jax.lax.dot_general(
+                a, d_o_b,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+
+    group_out = (
+        go_parts[0] if heads == 1 else jnp.concatenate(go_parts, axis=1)
+    )
+    dwo_ref[...] += jax.lax.dot_general(
+        group_out, d_branch_b,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d_qkv = jnp.concatenate(
+        [p.astype(dtype) for p in dq_parts + dk_parts + dv_parts], axis=1
+    )  # (n_pad, 3C)
+    dwqkv_ref[...] += jax.lax.dot_general(
+        gnb, d_qkv,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d_gn += jax.lax.dot_general(
+        d_qkv, wqkv_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dgamma_ref[...] += jnp.sum(d_gn * nrm * (c**0.5), axis=0, keepdims=True)
+    dx_ref[0] = _rms_bwd(d_gn, nrm, r, agamma_ref[...], c).astype(dx_ref.dtype)
+
+
+def _attn_train_operands(x, attn_params, rope_cos, rope_sin, heads, seed):
+    items, n, c = x.shape
+    n_pad = -(-n // 128) * 128
+    hp = _heads_pad(heads)
+    wdtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    wg = jnp.swapaxes(attn_params["gates_w"].astype(jnp.float32), 0, 1)
+    wg = jnp.pad(wg, ((0, hp - heads), (0, 0)))  # (hp, C)
+    gb = jnp.pad(
+        attn_params["gates_b"].astype(jnp.float32).reshape(1, heads),
+        ((0, 0), (0, 128 - heads)),
+    )
+    xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+    cosf = jnp.repeat(rope_cos[:n].astype(jnp.float32), 2, axis=-1)
+    sinf = jnp.repeat(rope_sin[:n].astype(jnp.float32), 2, axis=-1)
+    cosp = jnp.pad(cosf, ((0, n_pad - n), (0, 0)), constant_values=1.0)[None]
+    sinp = jnp.pad(sinf, ((0, n_pad - n), (0, 0)), constant_values=0.0)[None]
+    ops = (
+        seed,
+        xp,
+        attn_params["norm_gamma"].astype(jnp.float32).reshape(1, c),
+        attn_params["qkv_w"].astype(wdtype),
+        wg,
+        gb,
+        attn_params["out_w"].astype(wdtype),
+        cosp,
+        sinp,
+    )
+    return ops, n_pad, hp
+
+
+def _attn_train_specs(n_pad, c, hp, kwargs, interpret):
+    from beat_this_tpu.ops.fused_ff import _seed_spec
+
+    return [
+        _seed_spec(interpret),
+        pl.BlockSpec((1, n_pad, c), lambda i: (i, 0, 0), **kwargs),
+        pl.BlockSpec((1, c), lambda i: (0, 0), **kwargs),
+        pl.BlockSpec((c, 3 * c), lambda i: (0, 0), **kwargs),
+        pl.BlockSpec((hp, c), lambda i: (0, 0), **kwargs),
+        pl.BlockSpec((1, 128), lambda i: (0, 0), **kwargs),
+        pl.BlockSpec((c, c), lambda i: (0, 0), **kwargs),
+        pl.BlockSpec((1, n_pad, _HEAD_DIM), lambda i: (0, 0, 0), **kwargs),
+        pl.BlockSpec((1, n_pad, _HEAD_DIM), lambda i: (0, 0, 0), **kwargs),
+    ]
+
+
+def _train_vmem(interpret):
+    if interpret or pltpu is None:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        )
+    }
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _fused_time_attn_train(x, agamma, qkv_w, gates_w, gates_b, out_w,
+                           rope_cos, rope_sin, seed, heads, interpret, rate):
+    if interpret and rate > 0.0:
+        raise NotImplementedError(
+            "in-kernel dropout (pltpu.prng) has no interpret rule; "
+            "use rate=0 on CPU"
+        )
+    attn = {
+        "norm_gamma": agamma, "qkv_w": qkv_w, "gates_w": gates_w,
+        "gates_b": gates_b, "out_w": out_w,
+    }
+    items, n, c = x.shape
+    ops, n_pad, hp = _attn_train_operands(
+        x, attn, rope_cos, rope_sin, heads, seed
+    )
+    kwargs = {}
+    if _MEMORY_SPACE is not None and not interpret:
+        kwargs = {"memory_space": _MEMORY_SPACE}
+    out = pl.pallas_call(
+        functools.partial(_attn_train_kernel, n=n, heads=heads, rate=rate),
+        grid=(items,),
+        in_specs=_attn_train_specs(n_pad, c, hp, kwargs, interpret),
+        out_specs=pl.BlockSpec((1, n_pad, c), lambda i: (i, 0, 0), **kwargs),
+        out_shape=jax.ShapeDtypeStruct((items, n_pad, c), x.dtype),
+        interpret=interpret,
+        **_train_vmem(interpret),
+    )(*ops)
+    return out[:, :n, :]
+
+
+def _fused_time_attn_train_fwd(x, agamma, qkv_w, gates_w, gates_b, out_w,
+                               rope_cos, rope_sin, seed, heads, interpret,
+                               rate):
+    out = _fused_time_attn_train(
+        x, agamma, qkv_w, gates_w, gates_b, out_w, rope_cos, rope_sin, seed,
+        heads, interpret, rate,
+    )
+    return out, (x, agamma, qkv_w, gates_w, gates_b, out_w, rope_cos,
+                 rope_sin, seed)
+
+
+def _fused_time_attn_train_bwd(heads, interpret, rate, residuals, do):
+    (x, agamma, qkv_w, gates_w, gates_b, out_w, rope_cos, rope_sin,
+     seed) = residuals
+    attn = {
+        "norm_gamma": agamma, "qkv_w": qkv_w, "gates_w": gates_w,
+        "gates_b": gates_b, "out_w": out_w,
+    }
+    items, n, c = x.shape
+    ops, n_pad, hp = _attn_train_operands(
+        x, attn, rope_cos, rope_sin, heads, seed
+    )
+    do_p = jnp.pad(do.astype(x.dtype), ((0, 0), (0, n_pad - n), (0, 0)))
+    kwargs = {}
+    if _MEMORY_SPACE is not None and not interpret:
+        kwargs = {"memory_space": _MEMORY_SPACE}
+    block = pl.BlockSpec((1, n_pad, c), lambda i: (i, 0, 0), **kwargs)
+    dx, dgamma, dwqkv, dwgt, dgb, dwo = pl.pallas_call(
+        functools.partial(_attn_train_bwd_kernel, n=n, heads=heads,
+                          rate=rate),
+        grid=(items,),
+        in_specs=_attn_train_specs(n_pad, c, hp, kwargs, interpret) + [block],
+        out_specs=(
+            block,
+            pl.BlockSpec((1, c), lambda i: (0, 0), **kwargs),
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0), **kwargs),
+            pl.BlockSpec((hp, c), lambda i: (0, 0), **kwargs),
+            pl.BlockSpec((hp, 128), lambda i: (0, 0), **kwargs),
+            pl.BlockSpec((c, c), lambda i: (0, 0), **kwargs),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((items, n_pad, c), x.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((hp, c), jnp.float32),
+            jax.ShapeDtypeStruct((hp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+        ),
+        interpret=interpret,
+        **_train_vmem(interpret),
+    )(*ops, do_p)
+    return (
+        dx[:, :n, :],
+        dgamma.reshape(agamma.shape),
+        dwqkv.astype(qkv_w.dtype),
+        jnp.swapaxes(dwgt[: gates_w.shape[1]], 0, 1).astype(gates_w.dtype),
+        dgb[: gates_b.shape[0], 0].astype(gates_b.dtype),
+        dwo.astype(out_w.dtype),
+        None,  # rope_cos
+        None,  # rope_sin
+        None,  # seed
+    )
+
+
+_fused_time_attn_train.defvjp(
+    _fused_time_attn_train_fwd, _fused_time_attn_train_bwd
+)
+
+
+def fused_time_attention_train(
+    x: jnp.ndarray,
+    attn_params: dict,
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    heads: int,
+    dropout_rate: float = 0.0,
+    seed=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable `dropout(out_proj(gated_attention(rmsnorm(x))))` —
+    the whole attention residual BRANCH (caller adds x) in one kernel per
+    (item, all heads), with torch dropout placement (on the attention
+    probabilities and after the output projection). The masks regenerate
+    from `seed` in the backward kernel, which recomputes the block from x —
+    no probabilities, activations, or masks cross HBM between passes.
+
+    Matches layers.attention_block (reference beat_this/model/roformer.py:
+    83-132) semantics. Requires C == heads * 32.
+    """
+    items, n, c = x.shape
+    if c != heads * _HEAD_DIM or attn_params["out_w"].shape != (c, c):
+        raise ValueError("fused_time_attention_train: bad geometry")
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    return _fused_time_attn_train(
+        x, attn_params["norm_gamma"], attn_params["qkv_w"],
+        attn_params["gates_w"], attn_params["gates_b"],
+        attn_params["out_w"], rope_cos, rope_sin, seed, heads, interpret,
+        float(dropout_rate),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "interpret")
+)
+def fused_time_roformer(
+    x: jnp.ndarray,
+    attn_params: dict,
+    ff_params: dict,
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """`x + gated_attention(x); + feed_forward(x)` — one whole pre-norm
+    roformer block over (items, n, C), fused into a single kernel.
+
+    attn_params/ff_params: the layers.attention_block / layers.feed_forward
+    dicts. rope_cos/rope_sin: (>= n, head_dim) tables. Requires
+    C == heads * 32 and heads in {1, 2, 4} or a multiple of 4.
+    """
+    items, n, c = x.shape
+    if c != heads * _HEAD_DIM:
+        raise ValueError(f"C={c} != heads*{_HEAD_DIM} (heads={heads})")
+    gh = min(heads, _MAX_HEADS_PER_GROUP)
+    if heads > 2 and heads % _MAX_HEADS_PER_GROUP:
+        # groups must be 32/64/128-lane qkv column slices (TPU tiling)
+        raise ValueError(f"heads={heads} must be 1, 2, or a multiple of 4")
+    groups = heads // gh
+    n_pad = -(-n // 128) * 128
+
+    wdtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    qkv_w = attn_params["qkv_w"].astype(wdtype)  # (C, 3C), torch "(qkv h d)"
+    wq, wk, wv = qkv_w[:, :c], qkv_w[:, c : 2 * c], qkv_w[:, 2 * c :]
+    # gates transposed to (heads, C) and row-padded so each group's block is
+    # a full (8, C) float32 tile; bias padded to one 128-lane row per group
+    wg = jnp.swapaxes(attn_params["gates_w"].astype(jnp.float32), 0, 1)
+    wg = jnp.pad(wg.reshape(groups, gh, c), ((0, 0), (0, 8 - gh), (0, 0)))
+    wg = wg.reshape(groups * 8, c)
+    gb = attn_params["gates_b"].astype(jnp.float32).reshape(groups, gh)
+    gb = jnp.pad(gb, ((0, 0), (0, 128 - gh)))
+    m = ff_params["w1"].shape[1]
+
+    xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+    # rope_tables are half-width (n, head_dim // 2): expand to full width
+    # (interleaved pairs share an angle), identity rotation on padded rows
+    cosf = jnp.repeat(rope_cos[:n].astype(jnp.float32), 2, axis=-1)
+    sinf = jnp.repeat(rope_sin[:n].astype(jnp.float32), 2, axis=-1)
+    cosp = jnp.pad(cosf, ((0, n_pad - n), (0, 0)), constant_values=1.0)[None]
+    sinp = jnp.pad(sinf, ((0, n_pad - n), (0, 0)), constant_values=0.0)[None]
+
+    kwargs = {}
+    params = {}
+    if _MEMORY_SPACE is not None and not interpret:
+        kwargs = {"memory_space": _MEMORY_SPACE}
+        # whole-sequence float32 score tiles at n_pad 1536 are ~9.4 MB each;
+        # the liveness peak (scores + exp2 transient + FF hidden) exceeds the
+        # 16 MB default scoped-VMEM budget but is far under the physical one
+        params = {
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
+        }
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, n=n, gh=gh, groups=groups),
+        grid=(items, groups),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, c), lambda i, g: (i, 0, 0), **kwargs),
+            pl.BlockSpec((1, c), lambda i, g: (0, 0), **kwargs),
+            pl.BlockSpec((c, gh * _HEAD_DIM), lambda i, g: (0, g), **kwargs),
+            pl.BlockSpec((c, gh * _HEAD_DIM), lambda i, g: (0, g), **kwargs),
+            pl.BlockSpec((c, gh * _HEAD_DIM), lambda i, g: (0, g), **kwargs),
+            pl.BlockSpec((8, c), lambda i, g: (g, 0), **kwargs),
+            pl.BlockSpec((1, 128), lambda i, g: (g, 0), **kwargs),
+            pl.BlockSpec((gh * _HEAD_DIM, c), lambda i, g: (g, 0), **kwargs),
+            pl.BlockSpec((1, c), lambda i, g: (0, 0), **kwargs),
+            pl.BlockSpec((c, m), lambda i, g: (0, 0), **kwargs),
+            pl.BlockSpec((1, m), lambda i, g: (0, 0), **kwargs),
+            pl.BlockSpec((m, c), lambda i, g: (0, 0), **kwargs),
+            pl.BlockSpec((1, c), lambda i, g: (0, 0), **kwargs),
+            pl.BlockSpec((1, n_pad, _HEAD_DIM), lambda i, g: (0, 0, 0), **kwargs),
+            pl.BlockSpec((1, n_pad, _HEAD_DIM), lambda i, g: (0, 0, 0), **kwargs),
+        ],
+        out_specs=pl.BlockSpec((1, n_pad, c), lambda i, g: (i, 0, 0), **kwargs),
+        out_shape=jax.ShapeDtypeStruct((items, n_pad, c), x.dtype),
+        # the float32 accumulator persists across the sequential grid (it is
+        # re-initialized at group 0 of every item); pltpu.VMEM scratch also
+        # works in interpret mode on CPU
+        scratch_shapes=[pltpu.VMEM((n_pad, c), jnp.float32)],
+        interpret=interpret,
+        **params,
+    )(
+        xp,
+        attn_params["norm_gamma"].astype(jnp.float32).reshape(1, c),
+        wq,
+        wk,
+        wv,
+        wg,
+        gb,
+        attn_params["out_w"].astype(wdtype),
+        ff_params["norm_gamma"].astype(jnp.float32).reshape(1, c),
+        ff_params["w1"].astype(wdtype),
+        ff_params["b1"].astype(jnp.float32).reshape(1, m),
+        ff_params["w2"].astype(wdtype),
+        ff_params["b2"].astype(jnp.float32).reshape(1, c),
+        cosp,
+        sinp,
+    )
+    return out[:, :n, :]

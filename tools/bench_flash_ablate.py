@@ -28,12 +28,16 @@ def make_kernel(mode, block_k):
     def kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref):
         q_raw = q_ref[0]
         block_q, d = q_raw.shape
+        qsl = pl.ds(pl.program_id(1) * block_q, block_q)
         scale = d**-0.5
         if mode == "norope":
             q = q_raw
         else:
             q = (
-                rope_rotate(q_raw.astype(jnp.float32), cos_ref[0], sin_ref[0])
+                rope_rotate(
+                    q_raw.astype(jnp.float32),
+                    cos_ref[0, qsl, :], sin_ref[0, qsl, :],
+                )
                 * (scale * LOG2E)
             ).astype(q_raw.dtype)
         num_kb = k_ref.shape[1] // block_k
@@ -137,9 +141,13 @@ def main():
     bh, n, d = 512, 1536, 32
     for mode in ["full", "norope", "noexp", "mxu_only"]:
         run_mode(mode, bh, n, d, 1536, 768)
-    # grid-overhead probe: more, smaller programs
+    # block-shape sweep: can Mosaic schedule the K=32 dots better with
+    # different tile geometry?
+    for bq, bk in [(1536, 1536), (1536, 512), (768, 1536), (512, 1536),
+                   (512, 512), (768, 768)]:
+        run_mode("mxu_only", bh, n, d, bq, bk)
+    run_mode("full", bh, n, d, 1536, 1536)
     run_mode("full", bh, n, d, 512, 512)
-    run_mode("mxu_only", bh, n, d, 512, 512)
 
 
 if __name__ == "__main__":

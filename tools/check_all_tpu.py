@@ -297,7 +297,104 @@ def check_fused_freq_dropout_gradcheck():
     return {"rel": rel, "fd": fd, "analytic": an}
 
 
+def check_fused_time_parity():
+    """Isolated Mosaic parity for the fused whole-block time-roformer
+    kernel (ops/fused_time.py) at the model's real eval geometries,
+    including the multi-group accumulation path (heads=16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from beat_this_tpu.model.layers import attention_block, feed_forward
+    from beat_this_tpu.ops.fused_time import fused_time_roformer
+    from beat_this_tpu.ops.rotary import rope_tables
+
+    rng = np.random.RandomState(11)
+    worst = {}
+    for heads, items in [(1, 4), (4, 2), (16, 2)]:
+        c = heads * 32
+        n = 1500
+        attn = {
+            "norm_gamma": jnp.asarray(rng.randn(c) * 0.1 + 1, jnp.float32),
+            "qkv_w": jnp.asarray(rng.randn(c, 3 * c) / np.sqrt(c), jnp.float32),
+            "gates_w": jnp.asarray(rng.randn(c, heads) / np.sqrt(c), jnp.float32),
+            "gates_b": jnp.asarray(rng.randn(heads) * 0.3, jnp.float32),
+            "out_w": jnp.asarray(rng.randn(c, c) / np.sqrt(c), jnp.float32),
+        }
+        ff = {
+            "norm_gamma": jnp.asarray(rng.randn(c) * 0.1 + 1, jnp.float32),
+            "w1": jnp.asarray(rng.randn(c, 4 * c) / np.sqrt(c), jnp.float32),
+            "b1": jnp.asarray(rng.randn(4 * c) * 0.1, jnp.float32),
+            "w2": jnp.asarray(rng.randn(4 * c, c) / np.sqrt(4 * c), jnp.float32),
+            "b2": jnp.asarray(rng.randn(c) * 0.1, jnp.float32),
+        }
+        x = jnp.asarray(rng.randn(items, n, c), jnp.bfloat16)
+        rope = rope_tables(n, 32)
+
+        def oracle(x):
+            y = x + attention_block(attn, x, rope, heads)
+            return y + feed_forward(ff, y)
+
+        # force the oracle through plain XLA (no flash / fused kernels)
+        from beat_this_tpu.model import layers
+
+        layers._flash_enabled.cache_clear()
+        os.environ["BEAT_THIS_NO_FLASH"] = "1"
+        try:
+            want = np.asarray(jax.device_get(jax.jit(oracle)(x)), np.float32)
+        finally:
+            os.environ.pop("BEAT_THIS_NO_FLASH", None)
+            layers._flash_enabled.cache_clear()
+        got = np.asarray(jax.device_get(jax.jit(
+            lambda x: fused_time_roformer(x, attn, ff, rope[0], rope[1],
+                                          heads))(x)), np.float32)
+        rel = float(np.abs(got - want).max() / np.abs(want).max())
+        assert rel < 3e-2, f"heads={heads}: rel dev {rel:.3e}"
+        worst[f"rel_h{heads}"] = rel
+    return worst
+
+
+def check_fused_time_dropout_gradcheck():
+    """Directional gradcheck of the fused time-attention TRAINING kernel
+    (ops/fused_time.fused_time_attention_train) with in-kernel dropout
+    active, at a frontend geometry (heads=4) and the main-transformer one
+    (heads=16) — the seed must regenerate identical masks across the primal,
+    VJP-forward, and backward kernels."""
+    import jax.numpy as jnp
+
+    from beat_this_tpu.ops.fused_time import fused_time_attention_train
+    from beat_this_tpu.ops.rotary import rope_tables
+
+    out = {}
+    for heads, items in [(4, 4), (16, 2)]:
+        c = heads * 32
+        n = 1500
+        rng = np.random.RandomState(40 + heads)
+        attn = {
+            "norm_gamma": jnp.asarray(rng.rand(c) + 0.5, jnp.float32),
+            "qkv_w": jnp.asarray(rng.randn(c, 3 * c) / np.sqrt(c), jnp.float32),
+            "gates_w": jnp.asarray(rng.randn(c, heads) / np.sqrt(c), jnp.float32),
+            "gates_b": jnp.asarray(rng.randn(heads) * 0.3, jnp.float32),
+            "out_w": jnp.asarray(rng.randn(c, c) / np.sqrt(c), jnp.float32),
+        }
+        rope = rope_tables(n, 32)
+        x0 = jnp.asarray(rng.randn(items, n, c), jnp.float32)
+        cot = jnp.asarray(rng.randn(items, n, c), jnp.float32)
+
+        def loss(x):
+            out = fused_time_attention_train(
+                x, attn, rope[0], rope[1], heads, dropout_rate=0.1, seed=23
+            )
+            return jnp.vdot(out, cot)
+
+        rel, fd, an = _directional_gradcheck(loss, x0)
+        assert rel < 8e-2, f"fused_time h={heads} dropout VJP: rel {rel:.3e}"
+        out[f"rel_h{heads}"] = rel
+    return out
+
+
 CHECKS = [
+    ("fused_time_parity", check_fused_time_parity),
+    ("fused_time_dropout_gradcheck", check_fused_time_dropout_gradcheck),
     ("eval_logit_parity", check_eval_logit_parity),
     ("train_grad_parity_no_dropout", check_train_grad_parity_no_dropout),
     ("train_dropout_finite", check_train_dropout_finite),
