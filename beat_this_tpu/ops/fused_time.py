@@ -184,8 +184,13 @@ def _heads_pad(heads):
 
 
 def _attn_fwd_head(qkv, h, c, cos, sin, seed_ref, rate, n, dtype):
-    """Recompute one head's attention: returns (o_h float32 (n_pad, 32),
-    dropped-normalized probs A (n_pad, n_pad) in `dtype`, p2 float32)."""
+    """Recompute one head's attention. The softmax normalizer is NEVER
+    applied to the (n_pad, n_pad) probabilities — it rides as a per-row
+    scaling on the (n_pad, 32) output (and, in the backward, on the
+    incoming cotangent), saving a full score-sized buffer and divide per
+    head. Returns (o_h float32 normalized, a_un unnormalized-dropped probs
+    in `dtype`, p_un float32 unnormalized-undropped, l row sums, q_r, k_r,
+    v)."""
     from beat_this_tpu.ops.fused_freq import _dropmask
 
     d = _HEAD_DIM
@@ -208,20 +213,24 @@ def _attn_fwd_head(qkv, h, c, cos, sin, seed_ref, rate, n, dtype):
     m = jnp.max(s, axis=1, keepdims=True)
     p_un = jnp.exp2(s - m)
     l = jnp.sum(p_un, axis=1, keepdims=True)
-    p2 = p_un / l  # normalized, undropped probabilities
     if rate > 0.0:
-        a = p2 * _dropmask(
-            seed_ref, pl.program_id(0), _SITE_ATTN, h, p2.shape, rate
+        # dropout applies to the NORMALIZED probabilities in torch; the
+        # multiplicative mask commutes with the per-row 1/l scaling
+        a_un = p_un * _dropmask(
+            seed_ref, pl.program_id(0), _SITE_ATTN, h, p_un.shape, rate
         )
     else:
-        a = p2
-    a = a.astype(dtype)
-    o_h = jax.lax.dot_general(
-        a, v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        a_un = p_un
+    a_un = a_un.astype(dtype)
+    o_h = (
+        jax.lax.dot_general(
+            a_un, v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        / l
     )
-    return o_h, a, p2, q_r, k_r, v
+    return o_h, a_un, p_un, l, q_r, k_r, v
 
 
 def _gate_of(gn, wg_ref, gb_ref, h):
@@ -249,9 +258,9 @@ def _attn_train_kernel(seed_ref, x_ref, agamma_ref, wqkv_ref, wg_ref, gb_ref,
     sin = sin_ref[0]
     outs = []
     for h in range(heads):
-        o_h, _, _, _, _, _ = _attn_fwd_head(
+        o_h = _attn_fwd_head(
             qkv, h, c, cos, sin, seed_ref, rate, n, dtype
-        )
+        )[0]
         gate = _gate_of(gn, wg_ref, gb_ref, h)
         outs.append((o_h * gate).astype(dtype))
     group_out = outs[0] if heads == 1 else jnp.concatenate(outs, axis=1)
@@ -312,7 +321,7 @@ def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wqkv_ref, wg_ref,
     d_gn = jnp.zeros_like(gn)
     go_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
     for h in range(heads):
-        o_h, a, p2, q_r, k_r, v = _attn_fwd_head(
+        o_h, a_un, p_un, l, q_r, k_r, v = _attn_fwd_head(
             qkv, h, c, cos, sin, seed_ref, rate, n, dtype
         )
         gate = _gate_of(gn, wg_ref, gb_ref, h)
@@ -328,12 +337,16 @@ def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wqkv_ref, wg_ref,
         dgb_ref[h : h + 1, :] += jnp.broadcast_to(
             jnp.sum(d_z).reshape(1, 1), (1, dgb_ref.shape[1])
         )
-        # attention pullback (flash-attention formulas; p2 = normalized
-        # undropped probs, o_h/a include dropout)
-        delta = jnp.sum(d_o * o_h, axis=1, keepdims=True)
-        d_o_b = d_o.astype(dtype)
+        # attention pullback. The forward never normalized the (n, n)
+        # probabilities; folding 1/l into the incoming (n, 32) cotangent
+        # instead makes dp, delta, and dv come out in the same unnormalized
+        # units as p_un/a_un, so the flash-attention formulas hold with no
+        # score-sized division anywhere.
+        do_l = d_o / l
+        delta = jnp.sum(do_l * o_h, axis=1, keepdims=True)
+        do_l_b = do_l.astype(dtype)
         dp = jax.lax.dot_general(
-            d_o_b, v,
+            do_l_b, v,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -341,7 +354,7 @@ def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wqkv_ref, wg_ref,
             dp = dp * _dropmask(
                 seed_ref, pid, _SITE_ATTN, h, dp.shape, rate
             )
-        ds = (p2 * (dp - delta)).astype(dtype)
+        ds = (p_un * (dp - delta)).astype(dtype)
         dq_parts.append(
             rope_rotate_inv(
                 jax.lax.dot_general(
@@ -366,7 +379,7 @@ def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wqkv_ref, wg_ref,
         )
         dv_parts.append(
             jax.lax.dot_general(
-                a, d_o_b,
+                a_un, do_l_b,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
