@@ -320,6 +320,7 @@ def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wqkv_ref, wg_ref,
 
     d_gn = jnp.zeros_like(gn)
     go_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
+    dwgt_rows, dgb_rows = [], []
     for h in range(heads):
         o_h, a_un, p_un, l, q_r, k_r, v = _attn_fwd_head(
             qkv, h, c, cos, sin, seed_ref, rate, n, dtype
@@ -333,9 +334,11 @@ def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wqkv_ref, wg_ref,
             jnp.sum(d_go_h * o_h, axis=1, keepdims=True) * gate * (1.0 - gate)
         )
         d_gn += d_z * wg_ref[h, :][None, :]
-        dwgt_ref[h : h + 1, :] += jnp.sum(d_z * gn, axis=0, keepdims=True)
-        dgb_ref[h : h + 1, :] += jnp.broadcast_to(
-            jnp.sum(d_z).reshape(1, 1), (1, dgb_ref.shape[1])
+        dwgt_rows.append(jnp.sum(d_z * gn, axis=0, keepdims=True))
+        dgb_rows.append(
+            jnp.broadcast_to(
+                jnp.sum(d_z).reshape(1, 1), (1, dgb_ref.shape[1])
+            )
         )
         # attention pullback. The forward never normalized the (n, n)
         # probabilities; folding 1/l into the incoming (n, 32) cotangent
@@ -384,6 +387,17 @@ def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wqkv_ref, wg_ref,
                 preferred_element_type=jnp.float32,
             )
         )
+
+    # gate-parameter rows land as ONE full-block update (Mosaic dislikes
+    # repeated single-row read-modify-writes below sublane granularity)
+    hp = dwgt_ref.shape[0]
+
+    def _rows(rows):
+        blk = rows[0] if heads == 1 else jnp.concatenate(rows, axis=0)
+        return blk if hp == heads else jnp.pad(blk, ((0, hp - heads), (0, 0)))
+
+    dwgt_ref[...] += _rows(dwgt_rows)
+    dgb_ref[...] += _rows(dgb_rows)
 
     group_out = (
         go_parts[0] if heads == 1 else jnp.concatenate(go_parts, axis=1)
