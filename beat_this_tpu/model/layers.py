@@ -48,6 +48,17 @@ def _flash_enabled() -> bool:
     return flash_attention_available()
 
 
+def _kernel_seed(
+    rng: Optional[jax.Array], rate: float
+) -> Optional[jax.Array]:
+    """Derive the (1,) int32 seed the Pallas kernels regenerate their
+    in-kernel dropout masks from (forward and backward alike); None when
+    dropout is off."""
+    if rng is None or rate <= 0.0:
+        return None
+    return jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+
+
 def rms_norm(x: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
     """L2-normalize over the last axis, scale by sqrt(dim) * gamma.
 
@@ -145,11 +156,7 @@ def attention_block(
         from beat_this_tpu.ops.flash_attention import flash_attention
 
         rate = dropout_rate if rng_attn is not None else 0.0
-        seed = (
-            jax.random.randint(rng_attn, (1,), 0, 2**31 - 1, dtype=jnp.int32)
-            if rate > 0.0
-            else None
-        )
+        seed = _kernel_seed(rng_attn, rate)
         out = flash_attention(
             q.reshape(b * heads, n, head_dim),
             k.reshape(b * heads, n, head_dim),
@@ -166,11 +173,7 @@ def attention_block(
         from beat_this_tpu.ops.small_attention import small_attention
 
         rate = dropout_rate if rng_attn is not None else 0.0
-        seed = (
-            jax.random.randint(rng_attn, (1,), 0, 2**31 - 1, dtype=jnp.int32)
-            if rate > 0.0
-            else None
-        )
+        seed = _kernel_seed(rng_attn, rate)
         out = small_attention(
             q.reshape(b * heads, n, head_dim),
             k.reshape(b * heads, n, head_dim),
@@ -241,11 +244,7 @@ def ff_residual(
         from beat_this_tpu.ops.fused_ff import fused_ff_train
 
         rate = float(dropout_rate)
-        seed = (
-            jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
-            if rate > 0.0
-            else None
-        )
+        seed = _kernel_seed(rng, rate)
         return fused_ff_train(
             x, params["norm_gamma"], params["w1"], params["b1"],
             params["w2"], params["b2"], dropout_rate=rate, seed=seed,
@@ -281,11 +280,7 @@ def freq_roformer(
         from beat_this_tpu.ops.fused_freq import fused_freq_roformer
 
         rate = dropout_rate if rng is not None else 0.0
-        seed = (
-            jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
-            if rate > 0.0
-            else None
-        )
+        seed = _kernel_seed(rng, rate)
         return fused_freq_roformer(
             x, attn_params, ff_params, rope[0], rope[1],
             dropout_rate=rate, seed=seed,
@@ -341,11 +336,7 @@ def time_attention_train(
         from beat_this_tpu.ops.fused_time import fused_time_attention_train
 
         rate = float(dropout_rate) if rng is not None else 0.0
-        seed = (
-            jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
-            if rate > 0.0
-            else None
-        )
+        seed = _kernel_seed(rng, rate)
         return fused_time_attention_train(
             x, attn_params, rope[0], rope[1], heads,
             dropout_rate=rate, seed=seed,

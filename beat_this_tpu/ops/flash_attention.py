@@ -289,20 +289,27 @@ def _specs(interpret):
     return kwargs
 
 
-def _train_vmem_params(interpret):
-    """Raise the Mosaic scoped-VMEM ceiling for the training-path kernels
-    (lse forward + both backwards). Mosaic stack-allocates each unrolled
-    k/q-block iteration's (block_q, block_k) float32 score transients
-    without cross-iteration reuse, so blocks above 512 overflow the 16 MB
-    default (measured: 16.59 MB at block 1024 lse-forward, 23.54 MB at the
-    dkv kernel) while the physical budget (128 MB on v5e) is far away."""
+def vmem_params(limit_mb, interpret):
+    """pallas_call kwargs raising the Mosaic scoped-VMEM ceiling to
+    `limit_mb` MiB (no-op in interpret mode / off-TPU). The default 16 MiB
+    scoped budget is far below the physical VMEM (128 MiB on v5e); the
+    fused kernels' float32 score/weight transients routinely need more."""
     if interpret or pltpu is None:
         return {}
     return {
         "compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=limit_mb * 1024 * 1024
         )
     }
+
+
+def _train_vmem_params(interpret):
+    """Ceiling for the training-path kernels (lse forward + both
+    backwards). Mosaic stack-allocates each unrolled k/q-block iteration's
+    (block_q, block_k) float32 score transients without cross-iteration
+    reuse, so blocks above 512 overflow the 16 MB default (measured:
+    16.59 MB at block 1024 lse-forward, 23.54 MB at the dkv kernel)."""
+    return vmem_params(64, interpret)
 
 
 def _pad_seq(x, n_pad):

@@ -141,14 +141,10 @@ def _train_block_rows(dtype) -> int:
 def _vmem_params(dtype, interpret):
     """Raise the scoped-VMEM ceiling for the float32 training kernels: the
     default 16 MB cannot hold two f32 (512, 2048) weight matrices plus their
-    gradient accumulators; the physical VMEM budget (128 MB on v5e) can."""
-    if interpret or pltpu is None or dtype == jnp.bfloat16:
-        return {}
-    return {
-        "compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024
-        )
-    }
+    gradient accumulators; bfloat16 weights fit the default."""
+    from beat_this_tpu.ops.flash_attention import vmem_params
+
+    return {} if dtype == jnp.bfloat16 else vmem_params(48, interpret)
 
 
 def _ff_train_kernel(seed_ref, x_ref, gamma_ref, w1_ref, b1_ref, w2_ref,

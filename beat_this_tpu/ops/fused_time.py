@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 
 from beat_this_tpu.ops.flash_attention import LOG2E, rope_rotate
 from beat_this_tpu.ops.fused_ff import _gelu_exact
+from beat_this_tpu.ops.fused_freq import _rms
 
 try:
     from jax.experimental.pallas import tpu as pltpu
@@ -59,12 +60,6 @@ _MAX_HEADS_PER_GROUP = 4  # 4 x 32 = 128 lanes: one MXU tile of qkv columns
 
 def fused_time_available() -> bool:
     return _MEMORY_SPACE is not None
-
-
-def _rms(x32, gamma_row):
-    norm = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True))
-    c = x32.shape[-1]
-    return x32 / jnp.maximum(norm, 1e-12) * (c**0.5) * gamma_row
 
 
 def _kernel(x_ref, agamma_ref, wq_ref, wk_ref, wv_ref, wg_ref, gb_ref,
@@ -471,13 +466,9 @@ def _attn_train_specs(n_pad, c, hp, kwargs, interpret):
 
 
 def _train_vmem(interpret):
-    if interpret or pltpu is None:
-        return {}
-    return {
-        "compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024
-        )
-    }
+    from beat_this_tpu.ops.flash_attention import vmem_params
+
+    return vmem_params(110, interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
@@ -664,18 +655,15 @@ def fused_time_roformer(
     cosp = jnp.pad(cosf, ((0, n_pad - n), (0, 0)), constant_values=1.0)[None]
     sinp = jnp.pad(sinf, ((0, n_pad - n), (0, 0)), constant_values=0.0)[None]
 
+    from beat_this_tpu.ops.flash_attention import vmem_params
+
     kwargs = {}
-    params = {}
     if _MEMORY_SPACE is not None and not interpret:
         kwargs = {"memory_space": _MEMORY_SPACE}
-        # whole-sequence float32 score tiles at n_pad 1536 are ~9.4 MB each;
-        # the liveness peak (scores + exp2 transient + FF hidden) exceeds the
-        # 16 MB default scoped-VMEM budget but is far under the physical one
-        params = {
-            "compiler_params": pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
-            )
-        }
+    # whole-sequence float32 score tiles at n_pad 1536 are ~9.4 MB each;
+    # the liveness peak (scores + exp2 transient + FF hidden) exceeds the
+    # 16 MB default scoped-VMEM budget but is far under the physical one
+    params = vmem_params(100, interpret)
 
     out = pl.pallas_call(
         functools.partial(_kernel, n=n, gh=gh, groups=groups),

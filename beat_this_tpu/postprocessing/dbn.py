@@ -337,8 +337,12 @@ class DbnDecoder:
             t_pad = -(-len(act) // _FRAME_BUCKET) * _FRAME_BUCKET
             groups.setdefault(t_pad, []).append(i)
         for t_pad, idxs in groups.items():
-            dens = np.zeros((len(idxs), t_pad, 3), dtype=np.float32)
-            valid = np.zeros((len(idxs), t_pad), dtype=bool)
+            # pad the batch rows to a power of two so every eval batch hits
+            # one of O(log) compiled (rows, t_pad) executables instead of
+            # recompiling the scan for each distinct piece count
+            rows_pad = 1 << max(0, (len(idxs) - 1).bit_length())
+            dens = np.zeros((rows_pad, t_pad, 3), dtype=np.float32)
+            valid = np.zeros((rows_pad, t_pad), dtype=bool)
             for row, i in enumerate(idxs):
                 act = items[i][0]
                 dens[row, : len(act)] = self._log_densities(act)
@@ -353,7 +357,7 @@ class DbnDecoder:
                     jnp.asarray(valid),
                     hmm.num_states,
                 )
-                per_pattern.append((np.asarray(final), choices))
+                per_pattern.append((np.asarray(final)[: len(idxs)], choices))
             # winner pattern per piece, then ONE batched device backtrack per
             # pattern over exactly the rows it won (reverse lax.scan; the
             # losing pattern's lattice is never decoded)
@@ -372,11 +376,17 @@ class DbnDecoder:
                 rows = np.flatnonzero(winner == pat)
                 if rows.size == 0:
                     continue
+                # pad the winner-row subset to a power of two (duplicating
+                # the first winner) for the same stable-shape reason
+                n_win = 1 << max(0, (rows.size - 1).bit_length())
+                sel = np.concatenate(
+                    [rows, np.repeat(rows[:1], n_win - rows.size)]
+                )
                 got = np.asarray(_backtrack_batched(
                     jnp.asarray(hmm.from_idx),
-                    choices[:, rows, :],
-                    jnp.asarray(best_states[pat, rows]),
-                ))  # (T_pad, len(rows))
+                    choices[:, sel, :],
+                    jnp.asarray(best_states[pat, sel]),
+                ))  # (T_pad, n_win)
                 for col, row in enumerate(rows):
                     paths[row] = got[:, col]
             for row, i in enumerate(idxs):

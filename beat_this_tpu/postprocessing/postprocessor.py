@@ -152,8 +152,11 @@ class Postprocessor:
     def postp_dbn(self, beat, downbeat, padding_mask):
         # logits -> probabilities, clamped away from 0/1
         # (reference: beat_this/model/postprocessor.py:138-151)
-        beat_prob = 1.0 / (1.0 + np.exp(-beat.astype(np.float64)))
-        downbeat_prob = 1.0 / (1.0 + np.exp(-downbeat.astype(np.float64)))
+        # errstate: batched eval pads short pieces with -1000 logits, whose
+        # exp overflows to inf (the resulting prob 0 is correct and masked)
+        with np.errstate(over="ignore"):
+            beat_prob = 1.0 / (1.0 + np.exp(-beat.astype(np.float64)))
+            downbeat_prob = 1.0 / (1.0 + np.exp(-downbeat.astype(np.float64)))
         epsilon = 1e-5
         beat_prob = beat_prob * (1 - epsilon) + epsilon / 2
         downbeat_prob = downbeat_prob * (1 - epsilon) + epsilon / 2
