@@ -104,7 +104,22 @@ def main():
 
     # compile + warmup (device_get forces a full host round trip: through
     # the axon relay, block_until_ready does not actually block)
-    jax.device_get(forward_many(params, state, xs))
+    fallback = None
+    try:
+        jax.device_get(forward_many(params, state, xs))
+    except Exception as exc:
+        # safety net: if the newest fused kernels fail to compile on this
+        # hardware/toolchain, fall back to the previously validated kernel
+        # set rather than producing no number at all
+        from beat_this_tpu.model import layers
+
+        fallback = f"{type(exc).__name__}: {exc}"[:200]
+        os.environ["BEAT_THIS_NO_FUSED_TIME"] = "1"
+        os.environ["BEAT_THIS_NO_FUSED_TIME_TRAIN"] = "1"
+        layers._fused_time_enabled.cache_clear()
+        layers._fused_time_train_enabled.cache_clear()
+        jax.clear_caches()
+        jax.device_get(forward_many(params, state, xs))
     jax.device_get(forward_many(params, state, xs))
 
     # steady-state timing
@@ -126,6 +141,8 @@ def main():
         "unit": "x_realtime",
         "vs_baseline": round(value / 2000.0, 3),
     }
+    if fallback:
+        record["fused_time_fallback"] = fallback
     # training-step capture (reference config: bs 8 x accum 8 = effective 64
     # crops of 1500 frames per optimizer step); optional so a failure cannot
     # take down the headline metric, skippable for a quick inference-only run
@@ -136,6 +153,20 @@ def main():
             record["train_x_realtime"] = round(64 * chunk / fps / step_s, 1)
         except Exception as exc:  # pragma: no cover
             record["train_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            try:  # same safety net as the eval forward above
+                from beat_this_tpu.model import layers
+
+                os.environ["BEAT_THIS_NO_FUSED_TIME_TRAIN"] = "1"
+                layers._fused_time_train_enabled.cache_clear()
+                jax.clear_caches()
+                step_s = bench_train_step(config)
+                record["train_step_s"] = round(step_s, 3)
+                record["train_x_realtime"] = round(
+                    64 * chunk / fps / step_s, 1
+                )
+                record["train_fused_time_fallback"] = True
+            except Exception:
+                pass
     print(json.dumps(record))
 
 
