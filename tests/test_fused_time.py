@@ -128,6 +128,37 @@ def test_train_forward_and_grads_match_composable(heads, n, items):
         assert float(jnp.max(jnp.abs(want - got))) / scale < 1e-4
 
 
+def test_train_grads_bfloat16():
+    """bfloat16 inputs (the trainer's compute dtype): gradients must track
+    the float32 composable oracle to mixed-precision accuracy."""
+    from beat_this_tpu.ops.fused_time import fused_time_attention_train
+
+    rng = np.random.RandomState(11)
+    heads, n, items = 4, 140, 2
+    c = heads * 32
+    attn, _ = _params(rng, c, heads)
+    x32 = jnp.asarray(rng.randn(items, n, c), jnp.float32)
+    rope = rope_tables(n, 32)
+    co = jnp.asarray(rng.randn(items, n, c), jnp.float32)
+
+    def loss_ref(x):
+        return jnp.sum(attention_block(attn, x, rope, heads) * co)
+
+    def loss_fused(x):
+        return jnp.sum(
+            fused_time_attention_train(
+                x.astype(jnp.bfloat16), attn, rope[0], rope[1], heads,
+                0.0, None, True,
+            ).astype(jnp.float32)
+            * co
+        )
+
+    g_r = jax.grad(loss_ref)(x32)
+    g_f = jax.grad(loss_fused)(x32)
+    scale = float(jnp.max(jnp.abs(g_r)))
+    assert float(jnp.max(jnp.abs(g_r - g_f))) / scale < 0.05
+
+
 def test_train_rejects_dropout_in_interpret_mode():
     from beat_this_tpu.ops.fused_time import fused_time_attention_train
 
