@@ -27,10 +27,13 @@ softmax recurrence: at these sizes K/V fit VMEM outright, so the two-pass
 max/sum is unnecessary, and the raised scoped-VMEM ceiling (the same story
 as ops/flash_attention._train_vmem_params) covers the transients.
 
-Eval only (no dropout, no VJP): training keeps the flash-attention custom-VJP
-path, whose in-kernel dropout mask geometry is already validated by the TPU
-gate. Matches layers.attention_block + layers.ff_residual semantics
-(reference: beat_this/model/roformer.py:38-132) to bfloat16 accuracy.
+Training runs the attention residual branch through `fused_time_attention_
+train` below: a custom-VJP twin of the same fusion with in-kernel seeded
+dropout at both torch sites (attention probabilities, after the out
+projection), whose backward recomputes the branch from x. The FF residual
+keeps its own fused training kernel (ops/fused_ff.fused_ff_train). Both
+match layers.attention_block + layers.ff_residual semantics (reference:
+beat_this/model/roformer.py:38-132) to bfloat16 accuracy.
 """
 
 from __future__ import annotations
