@@ -646,8 +646,11 @@ def fused_time_roformer(
     wg = jnp.swapaxes(attn_params["gates_w"].astype(jnp.float32), 0, 1)
     wg = jnp.pad(wg.reshape(groups, gh, c), ((0, 0), (0, 8 - gh), (0, 0)))
     wg = wg.reshape(groups * 8, c)
-    gb = attn_params["gates_b"].astype(jnp.float32).reshape(groups, gh)
-    gb = jnp.pad(gb, ((0, 0), (0, 128 - gh)))
+    gb = attn_params["gates_b"].astype(jnp.float32).reshape(groups, 1, gh)
+    # one (8, 128) float32 tile per group (biases in row 0): a (1, 128)
+    # block over a (groups, 128) array violates Mosaic's sublane tiling
+    # whenever groups > 1 (the main transformer: 16 heads -> 4 groups)
+    gb = jnp.pad(gb, ((0, 0), (0, 7), (0, 128 - gh))).reshape(groups * 8, 128)
     m = ff_params["w1"].shape[1]
 
     xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
@@ -678,7 +681,7 @@ def fused_time_roformer(
             pl.BlockSpec((c, gh * _HEAD_DIM), lambda i, g: (0, g), **kwargs),
             pl.BlockSpec((c, gh * _HEAD_DIM), lambda i, g: (0, g), **kwargs),
             pl.BlockSpec((8, c), lambda i, g: (g, 0), **kwargs),
-            pl.BlockSpec((1, 128), lambda i, g: (g, 0), **kwargs),
+            pl.BlockSpec((8, 128), lambda i, g: (g, 0), **kwargs),
             pl.BlockSpec((gh * _HEAD_DIM, c), lambda i, g: (g, 0), **kwargs),
             pl.BlockSpec((1, c), lambda i, g: (0, 0), **kwargs),
             pl.BlockSpec((c, m), lambda i, g: (0, 0), **kwargs),

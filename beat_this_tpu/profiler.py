@@ -30,15 +30,23 @@ def maybe_trace(trace_dir: str | None = None):
         jax.profiler.stop_trace()
 
 
-def maybe_enable_compilation_cache():
+def maybe_enable_compilation_cache(default_dir: str | None = None):
     """Enable JAX's persistent compilation cache when
     BEAT_THIS_COMPILE_CACHE points at a directory — repeat CLI invocations
-    then skip recompilation of the bucketed graphs entirely."""
+    then skip recompilation of the bucketed graphs entirely.
+
+    `default_dir` makes caching opt-out instead of opt-in for heavy entry
+    points (bench.py, the TPU kernel gate): the fused Pallas kernels cost
+    minutes of Mosaic compile time per executable, so those tools pass a
+    machine-local default and BEAT_THIS_COMPILE_CACHE= (empty) disables."""
     cache_dir = os.environ.get("BEAT_THIS_COMPILE_CACHE")
+    if cache_dir is None:
+        cache_dir = default_dir
     if not cache_dir:
         return
     import jax
 
+    os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -78,6 +78,13 @@ def main():
     import jax.numpy as jnp
 
     from beat_this_tpu.model import BeatThisConfig, apply_beat_this, init_beat_this
+    from beat_this_tpu.profiler import maybe_enable_compilation_cache
+
+    # The fused Pallas kernels cost minutes of Mosaic compile time; a
+    # machine-local persistent cache makes repeat bench runs start warm.
+    maybe_enable_compilation_cache(
+        default_dir=os.path.expanduser("~/.cache/beat_this_tpu/xla-cache")
+    )
 
     config = BeatThisConfig()  # full-size
     params, state = init_beat_this(0, config)

@@ -29,8 +29,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main(args):
+    import os
+
     import jax
     import numpy as np
+
+    from beat_this_tpu.profiler import maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache(
+        default_dir=os.path.expanduser("~/.cache/beat_this_tpu/xla-cache")
+    )
 
     from beat_this_tpu.data import BeatDataModule
     from beat_this_tpu.data.dataset import BeatTrackingDataset

@@ -409,6 +409,11 @@ CHECKS = [
 def main(args):
     import jax
 
+    from beat_this_tpu.profiler import maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache(
+        default_dir=os.path.expanduser("~/.cache/beat_this_tpu/xla-cache")
+    )
     platform = jax.devices()[0].platform
     report = {"platform": platform, "checks": {}}
     if platform == "cpu":
