@@ -46,6 +46,8 @@ def _reference(attn, ff, x, rope, heads):
         (2, 128, 2),  # frontend block 2 (C=64), exact tile multiple
         (4, 130, 2),  # frontend block 3 (C=128), heavy padding
         (8, 140, 2),  # multi-group accumulation (2 groups of 4 heads)
+        (16, 96, 1),  # production head count (4 groups; the gate-bias
+                      # operand spans multiple (8, 128) sublane tiles)
     ],
 )
 def test_matches_composable_path(heads, n, items):
