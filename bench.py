@@ -91,7 +91,9 @@ def main():
 
     chunk = 1500
     border = 6
-    batch = 8  # chunks per device batch (measured best: 8 > 16 > 32)
+    # chunks per device batch (measured best: 8 > 16 > 32; re-sweepable when
+    # the kernel set changes via BEAT_THIS_BENCH_BATCH)
+    batch = int(os.environ.get("BEAT_THIS_BENCH_BATCH", "8"))
     scan_len = 40  # batches per executable: amortizes dispatch latency
     fps = 50.0
 

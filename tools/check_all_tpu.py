@@ -419,8 +419,15 @@ def main(args):
     if platform == "cpu":
         print("WARNING: running on CPU — Mosaic paths unavailable; "
               "this gate is only meaningful on TPU")
+    checks = CHECKS
+    if args.only:
+        wanted = set(args.only)
+        unknown = wanted - {n for n, _ in CHECKS}
+        if unknown:
+            raise SystemExit(f"unknown check(s): {sorted(unknown)}")
+        checks = [(n, f) for n, f in CHECKS if n in wanted]
     ok = True
-    for name, fn in CHECKS:
+    for name, fn in checks:
         t0 = time.time()
         try:
             details = fn()
@@ -446,4 +453,10 @@ def main(args):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     parser.add_argument("--out", default="TPUCHECK.json")
+    parser.add_argument(
+        "--only", nargs="*", default=None, metavar="CHECK",
+        help="run only the named checks (default: all); useful when "
+        "iterating on one kernel — the committed round artifact must "
+        "still come from a full run",
+    )
     sys.exit(main(parser.parse_args()))
