@@ -308,6 +308,16 @@ def _fused_time_train_enabled() -> bool:
     return not os.environ.get("BEAT_THIS_NO_FUSED_TIME_TRAIN")
 
 
+# The fused TRAINING kernels put ALL heads of one item in a single program
+# (grid=(items,)), so their whole-sequence f32 score transients stack:
+# measured on the v5e, the heads=16 forward wants 126.86 MB of scoped VMEM
+# against the 110 MB ceiling (the backward is far larger). heads <= 4 — the
+# frontend time partials — compiles and runs (fwd 19 s, grad 50 s cold);
+# the main transformer's heads=16 keeps the flash-attention training path,
+# whose blocked kernels are VMEM-bounded by design.
+FUSED_TIME_TRAIN_MAX_HEADS = 4
+
+
 def time_attention_train(
     attn_params: dict,
     x: jnp.ndarray,
@@ -325,11 +335,14 @@ def time_attention_train(
     backward recomputes the branch from `x` (`ops/fused_time.py`). Compared
     to the flash path it stops paying HBM round trips for the norm, the
     (n, 3C) qkv tensor, the per-head split, and the gate/out-proj chain in
-    BOTH passes. Falls back to `attention_block` off-TPU or when disabled
-    via BEAT_THIS_NO_FUSED_TIME_TRAIN."""
+    BOTH passes. Falls back to `attention_block` off-TPU, when disabled
+    via BEAT_THIS_NO_FUSED_TIME_TRAIN, or above FUSED_TIME_TRAIN_MAX_HEADS
+    (the all-heads-per-program kernel exceeds scoped VMEM at heads=16 —
+    the main transformer trains through the flash kernels instead)."""
     if (
         x.shape[1] >= FLASH_MIN_SEQ
         and x.shape[-1] == heads * 32
+        and heads <= FUSED_TIME_TRAIN_MAX_HEADS
         and _flash_enabled()
         and _fused_time_train_enabled()
     ):

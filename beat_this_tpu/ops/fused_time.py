@@ -34,6 +34,17 @@ projection), whose backward recomputes the branch from x. The FF residual
 keeps its own fused training kernel (ops/fused_ff.fused_ff_train). Both
 match layers.attention_block + layers.ff_residual semantics (reference:
 beat_this/model/roformer.py:38-132) to bfloat16 accuracy.
+
+Unlike the eval kernel, the training pair puts ALL heads of one item in a
+single program (the backward's parameter-gradient accumulators span every
+head), so it is usable only up to 4 heads: at heads=16 the stacked
+whole-sequence f32 score transients need 126.86 MB of scoped VMEM against
+the v5e's 110 MB ceiling (measured; tools/probe_fused_time_train_tpu.py).
+The model router (layers.FUSED_TIME_TRAIN_MAX_HEADS) therefore applies it
+to the frontend time partials (heads 1/2/4) and trains the heads=16 main
+transformer through the flash kernels. Re-gridding the training pair over
+(items, head_groups) with cross-group accumulation — the eval kernel's
+geometry — would lift the cap; see DESIGN.md §3.
 """
 
 from __future__ import annotations
@@ -592,7 +603,10 @@ def fused_time_attention_train(
     no probabilities, activations, or masks cross HBM between passes.
 
     Matches layers.attention_block (reference beat_this/model/roformer.py:
-    83-132) semantics. Requires C == heads * 32.
+    83-132) semantics. Requires C == heads * 32. On real TPUs, usable only
+    for heads <= 4: all heads share one program, and the stacked
+    whole-sequence score transients exceed scoped VMEM at heads=16 (see
+    the module docstring); interpret mode has no such limit.
     """
     items, n, c = x.shape
     if c != heads * _HEAD_DIM or attn_params["out_w"].shape != (c, c):

@@ -173,3 +173,44 @@ def test_train_rejects_dropout_in_interpret_mode():
             x, attn, rope[0], rope[1], 2, dropout_rate=0.1,
             seed=jnp.zeros((1,), jnp.int32), interpret=True,
         )
+
+
+def test_train_router_caps_head_count(monkeypatch):
+    """layers.time_attention_train must route heads=16 (the main
+    transformer) to the composable path — the all-heads-per-program
+    training kernel exceeds scoped VMEM there (measured 126.86 MB vs the
+    110 MB v5e ceiling) — while still taking the fused kernel at the
+    frontend head counts."""
+    from beat_this_tpu.model import layers
+    from beat_this_tpu.ops import fused_time
+
+    calls = []
+
+    def fake_kernel(x, attn_params, rope_cos, rope_sin, heads, **kw):
+        calls.append(heads)
+        return jnp.zeros_like(x)
+
+    fallbacks = []
+
+    def fake_composable(attn_params, x, rope, heads, **kw):
+        fallbacks.append(heads)
+        return jnp.zeros_like(x)
+
+    monkeypatch.setattr(
+        fused_time, "fused_time_attention_train", fake_kernel
+    )
+    monkeypatch.setattr(layers, "attention_block", fake_composable)
+    monkeypatch.setattr(layers, "_flash_enabled", lambda: True)
+    monkeypatch.setattr(layers, "_fused_time_train_enabled", lambda: True)
+
+    n = layers.FLASH_MIN_SEQ
+    rng = np.random.RandomState(0)
+    rope = rope_tables(n, 32)
+    for heads in (4, 16):
+        attn, _ = _params(rng, heads * 32, heads)
+        x = jnp.asarray(rng.randn(1, n, heads * 32), jnp.float32)
+        out = layers.time_attention_train(attn, x, rope, heads)
+        assert out.shape == x.shape
+    assert calls == [4] and fallbacks == [16], (
+        "fused kernel must serve heads=4 only; heads=16 falls back"
+    )

@@ -356,16 +356,18 @@ def check_fused_time_parity():
 def check_fused_time_dropout_gradcheck():
     """Directional gradcheck of the fused time-attention TRAINING kernel
     (ops/fused_time.fused_time_attention_train) with in-kernel dropout
-    active, at a frontend geometry (heads=4) and the main-transformer one
-    (heads=16) — the seed must regenerate identical masks across the primal,
-    VJP-forward, and backward kernels."""
+    active, at the frontend geometries it is actually routed to (heads <=
+    layers.FUSED_TIME_TRAIN_MAX_HEADS; heads=16 exceeds scoped VMEM — the
+    main transformer trains through the flash kernels, covered by
+    flash_dropout_gradcheck). The seed must regenerate identical masks
+    across the primal, VJP-forward, and backward kernels."""
     import jax.numpy as jnp
 
     from beat_this_tpu.ops.fused_time import fused_time_attention_train
     from beat_this_tpu.ops.rotary import rope_tables
 
     out = {}
-    for heads, items in [(4, 4), (16, 2)]:
+    for heads, items in [(2, 4), (4, 4)]:
         c = heads * 32
         n = 1500
         rng = np.random.RandomState(40 + heads)
