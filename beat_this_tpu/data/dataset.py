@@ -496,10 +496,35 @@ class BeatDataModule:
         return len(self.train_dataset) // (self.batch_size * accum_steps)
 
     def val_batches(self):
+        """Validation batches, every one padded to `batch_size` rows.
+
+        A ragged final batch would retrace the jitted eval step on every
+        run (its shape differs from the compiled bucket); instead the tail
+        is zero-padded — spect zeros, padding_mask all-False, downbeat_mask
+        0, so the padded rows contribute exactly nothing to any masked loss
+        numerator — and the true row count rides along as `n_valid`. The
+        consumer must restrict per-piece work to the first `n_valid` rows
+        and may rescale mean-reduced losses by rows/n_valid (all losses in
+        train/loss.py are means over batch elements, so the correction is
+        exact; see Trainer.validate)."""
         dataset = self.val_dataset
         for i in range(0, len(dataset), self.batch_size):
-            yield collate([dataset[j] for j in range(i, min(i + self.batch_size,
-                                                            len(dataset)))])
+            items = [
+                dataset[j]
+                for j in range(i, min(i + self.batch_size, len(dataset)))
+            ]
+            batch = collate(items)
+            n_valid = len(items)
+            if n_valid < self.batch_size:
+                pad = self.batch_size - n_valid
+                for key, value in batch.items():
+                    if isinstance(value, np.ndarray):
+                        batch[key] = np.concatenate(
+                            [value, np.zeros((pad,) + value.shape[1:],
+                                             value.dtype)]
+                        )
+            batch["n_valid"] = n_valid
+            yield batch
 
     def predict_pieces(self):
         """Full pieces one by one (reference predict loader bs=1)."""

@@ -308,14 +308,14 @@ def _fused_time_train_enabled() -> bool:
     return not os.environ.get("BEAT_THIS_NO_FUSED_TIME_TRAIN")
 
 
-# The fused TRAINING kernels put ALL heads of one item in a single program
-# (grid=(items,)), so their whole-sequence f32 score transients stack:
-# measured on the v5e, the heads=16 forward wants 126.86 MB of scoped VMEM
-# against the 110 MB ceiling (the backward is far larger). heads <= 4 — the
-# frontend time partials — compiles and runs (fwd 19 s, grad 50 s cold);
-# the main transformer's heads=16 keeps the flash-attention training path,
-# whose blocked kernels are VMEM-bounded by design.
-FUSED_TIME_TRAIN_MAX_HEADS = 4
+# Round 4 re-gridded the fused TRAINING kernels over (items, head_groups)
+# — the eval kernel's geometry — so per-program VMEM is bounded by the
+# <= 4 heads each group owns and every head count the model uses compiles
+# on real hardware (round 3's all-heads-per-program version needed
+# 126.86 MB scoped VMEM at heads=16 vs the v5e's 110 MB ceiling). The cap
+# remains as an escape hatch for future geometries and for the router
+# test; 16 covers the whole model (frontend 1/2/4, main transformer 16).
+FUSED_TIME_TRAIN_MAX_HEADS = 16
 
 
 def time_attention_train(
@@ -336,12 +336,13 @@ def time_attention_train(
     to the flash path it stops paying HBM round trips for the norm, the
     (n, 3C) qkv tensor, the per-head split, and the gate/out-proj chain in
     BOTH passes. Falls back to `attention_block` off-TPU, when disabled
-    via BEAT_THIS_NO_FUSED_TIME_TRAIN, or above FUSED_TIME_TRAIN_MAX_HEADS
-    (the all-heads-per-program kernel exceeds scoped VMEM at heads=16 —
-    the main transformer trains through the flash kernels instead)."""
+    via BEAT_THIS_NO_FUSED_TIME_TRAIN, above FUSED_TIME_TRAIN_MAX_HEADS,
+    or at head counts the (items, head_groups) grid cannot tile
+    (heads > 2 and not a multiple of 4)."""
     if (
         x.shape[1] >= FLASH_MIN_SEQ
         and x.shape[-1] == heads * 32
+        and (heads <= 2 or heads % 4 == 0)
         and heads <= FUSED_TIME_TRAIN_MAX_HEADS
         and _flash_enabled()
         and _fused_time_train_enabled()

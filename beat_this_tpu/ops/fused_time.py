@@ -35,16 +35,20 @@ keeps its own fused training kernel (ops/fused_ff.fused_ff_train). Both
 match layers.attention_block + layers.ff_residual semantics (reference:
 beat_this/model/roformer.py:38-132) to bfloat16 accuracy.
 
-Unlike the eval kernel, the training pair puts ALL heads of one item in a
-single program (the backward's parameter-gradient accumulators span every
-head), so it is usable only up to 4 heads: at heads=16 the stacked
-whole-sequence f32 score transients need 126.86 MB of scoped VMEM against
-the v5e's 110 MB ceiling (measured; tools/probe_fused_time_train_tpu.py).
-The model router (layers.FUSED_TIME_TRAIN_MAX_HEADS) therefore applies it
-to the frontend time partials (heads 1/2/4) and trains the heads=16 main
-transformer through the flash kernels. Re-gridding the training pair over
-(items, head_groups) with cross-group accumulation — the eval kernel's
-geometry — would lift the cap; see DESIGN.md §3.
+The training pair uses the SAME (items, head_groups) grid as the eval
+kernel (round 4; round 3's all-heads-per-program version was capped at 4
+heads — at heads=16 its stacked whole-sequence f32 score transients needed
+126.86 MB of scoped VMEM against the v5e's 110 MB ceiling, measured by
+tools/probe_fused_time_train_tpu.py). Each program projects and attends
+only its own <= 4 heads' q/k/v columns, so per-program score transients are
+bounded regardless of the model's head count; the forward's output sum and
+the backward's d_gn accumulate in float32 VMEM scratch across the
+sequential group dimension, and parameter gradients accumulate into
+constant-index VMEM-resident output refs at dynamic row offsets (a
+(0, g)-indexed output block would be revisited non-consecutively across
+items, which the Mosaic pipeline does not refetch). This lets the six
+heads=16 main-transformer layers — the dominant training cost — train
+through the whole-branch fusion instead of flash attention.
 """
 
 from __future__ import annotations
@@ -188,27 +192,32 @@ def _kernel(x_ref, agamma_ref, wq_ref, wk_ref, wv_ref, wg_ref, gb_ref,
 _SITE_ATTN, _SITE_OUT = 0, 1
 
 
-def _heads_pad(heads):
-    return -(-heads // 8) * 8
+def _group_heads(heads: int) -> int:
+    """Heads per grid program: full MXU lane tiles (4 x 32 = 128 qkv weight
+    columns), or the whole head count when it is below one tile."""
+    return min(heads, _MAX_HEADS_PER_GROUP)
 
 
-def _attn_fwd_head(qkv, h, c, cos, sin, seed_ref, rate, n, dtype):
-    """Recompute one head's attention. The softmax normalizer is NEVER
-    applied to the (n_pad, n_pad) probabilities — it rides as a per-row
-    scaling on the (n_pad, 32) output (and, in the backward, on the
-    incoming cotangent), saving a full score-sized buffer and divide per
-    head. Returns (o_h float32 normalized, a_un unnormalized-dropped probs
-    in `dtype`, p_un float32 unnormalized-undropped, l row sums, q_r, k_r,
-    v)."""
+def _attn_fwd_head(q_all, k_all, v_all, j, h, cos, sin, seed_ref, rate, n,
+                   dtype):
+    """Recompute one head's attention from the group's projected q/k/v
+    columns. `j` indexes the head within the group (column slice); `h` is
+    the model-global head index — the dropout salt, so the same bits
+    regenerate in the backward regardless of grouping. The softmax
+    normalizer is NEVER applied to the (n_pad, n_pad) probabilities — it
+    rides as a per-row scaling on the (n_pad, 32) output (and, in the
+    backward, on the incoming cotangent), saving a full score-sized buffer
+    and divide per head. Returns (o_h float32 normalized, a_un
+    unnormalized-dropped probs in `dtype`, p_un float32
+    unnormalized-undropped, l row sums, q_r, k_r, v)."""
     from beat_this_tpu.ops.fused_freq import _dropmask
 
     d = _HEAD_DIM
     scale = d**-0.5
-    q_r = rope_rotate(qkv[:, h * d : (h + 1) * d].astype(jnp.float32), cos, sin)
-    k_r = rope_rotate(
-        qkv[:, c + h * d : c + (h + 1) * d].astype(jnp.float32), cos, sin
-    ).astype(dtype)
-    v = qkv[:, 2 * c + h * d : 2 * c + (h + 1) * d]
+    hsl = slice(j * d, (j + 1) * d)
+    q_r = rope_rotate(q_all[:, hsl], cos, sin)
+    k_r = rope_rotate(k_all[:, hsl], cos, sin).astype(dtype)
+    v = v_all[:, hsl]
     q_s = (q_r * (scale * LOG2E)).astype(dtype)
     s = jax.lax.dot_general(
         q_s, k_r,
@@ -250,53 +259,79 @@ def _gate_of(gn, wg_ref, gb_ref, h):
     return jax.nn.sigmoid(z)
 
 
-def _attn_train_kernel(seed_ref, x_ref, agamma_ref, wqkv_ref, wg_ref, gb_ref,
-                       wo_ref, cos_ref, sin_ref, o_ref, *, n, heads, rate):
-    from beat_this_tpu.ops.fused_freq import _dropmask, _rms_parts
-
-    x32 = x_ref[0].astype(jnp.float32)
-    c = x32.shape[-1]
-    dtype = x_ref.dtype
-    gn, _, _ = _rms_parts(x32, agamma_ref[...])
-    qkv = jax.lax.dot_general(
-        gn.astype(wqkv_ref.dtype), wqkv_ref[...],
+def _proj_group(gnb, w_ref):
+    """Project the normed rows onto one head group's weight columns."""
+    return jax.lax.dot_general(
+        gnb, w_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dtype)
+    )  # (n_pad, gh * 32) float32
+
+
+def _attn_train_kernel(seed_ref, x_ref, agamma_ref, wq_ref, wk_ref, wv_ref,
+                       wg_ref, gb_ref, wo_ref, cos_ref, sin_ref, o_ref,
+                       acc_ref, *, n, gh, groups, rate):
+    from beat_this_tpu.ops.fused_freq import _dropmask, _rms_parts
+
+    grp = pl.program_id(1)
+    x32 = x_ref[0].astype(jnp.float32)
+    dtype = x_ref.dtype
+    gn, _, _ = _rms_parts(x32, agamma_ref[...])
+    gnb = gn.astype(wq_ref.dtype)
+    q_all = _proj_group(gnb, wq_ref)
+    k_all = _proj_group(gnb, wk_ref)
+    v_all = _proj_group(gnb, wv_ref).astype(dtype)
     cos = cos_ref[0]
     sin = sin_ref[0]
     outs = []
-    for h in range(heads):
+    for j in range(gh):
         o_h = _attn_fwd_head(
-            qkv, h, c, cos, sin, seed_ref, rate, n, dtype
+            q_all, k_all, v_all, j, grp * gh + j, cos, sin, seed_ref, rate,
+            n, dtype,
         )[0]
-        gate = _gate_of(gn, wg_ref, gb_ref, h)
+        gate = _gate_of(gn, wg_ref, gb_ref, j)
         outs.append((o_h * gate).astype(dtype))
-    group_out = outs[0] if heads == 1 else jnp.concatenate(outs, axis=1)
-    out = jax.lax.dot_general(
+    group_out = outs[0] if gh == 1 else jnp.concatenate(outs, axis=1)
+    part = jax.lax.dot_general(
         group_out, wo_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    if rate > 0.0:
-        out = out * _dropmask(
-            seed_ref, pl.program_id(0), _SITE_OUT, 0, out.shape, rate
-        )
-    o_ref[0] = out.astype(o_ref.dtype)
+    )  # (n_pad, C)
+
+    @pl.when(grp == 0)
+    def _init():
+        acc_ref[...] = part
+
+    if groups > 1:
+
+        @pl.when(grp > 0)
+        def _accum():
+            acc_ref[...] += part
+
+    @pl.when(grp == groups - 1)
+    def _finish():
+        out = acc_ref[...]
+        if rate > 0.0:
+            out = out * _dropmask(
+                seed_ref, pl.program_id(0), _SITE_OUT, 0, out.shape, rate
+            )
+        o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wqkv_ref, wg_ref,
-                           gb_ref, wo_ref, cos_ref, sin_ref, do_ref,
-                           dx_ref, dgamma_ref, dwqkv_ref, dwgt_ref, dgb_ref,
-                           dwo_ref, *, n, heads, rate):
+def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wq_ref, wk_ref,
+                           wv_ref, wg_ref, gb_ref, wo_ref, cos_ref, sin_ref,
+                           do_ref, dx_ref, dgamma_ref, dwq_ref, dwk_ref,
+                           dwv_ref, dwgt_ref, dgb_ref, dwo_ref, dgn_acc,
+                           *, n, gh, groups, rate):
     from beat_this_tpu.ops.fused_freq import _dropmask, _rms_bwd, _rms_parts
     from beat_this_tpu.ops.flash_attention import rope_rotate_inv
 
     pid = pl.program_id(0)
+    grp = pl.program_id(1)
 
-    @pl.when(pid == 0)
+    @pl.when((pid == 0) & (grp == 0))
     def _init():
-        for ref in (dgamma_ref, dwqkv_ref, dwgt_ref, dgb_ref, dwo_ref):
+        for ref in (dwq_ref, dwk_ref, dwv_ref, dwgt_ref, dgb_ref, dwo_ref):
             ref[...] = jnp.zeros_like(ref)
 
     x32 = x_ref[0].astype(jnp.float32)
@@ -305,12 +340,10 @@ def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wqkv_ref, wg_ref,
     scale = d**-0.5
     dtype = x_ref.dtype
     gn, nrm, r = _rms_parts(x32, agamma_ref[...])
-    gnb = gn.astype(wqkv_ref.dtype)
-    qkv = jax.lax.dot_general(
-        gnb, wqkv_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dtype)
+    gnb = gn.astype(wq_ref.dtype)
+    q_all = _proj_group(gnb, wq_ref)
+    k_all = _proj_group(gnb, wk_ref)
+    v_all = _proj_group(gnb, wv_ref).astype(dtype)
     cos = cos_ref[0]
     sin = sin_ref[0]
 
@@ -325,24 +358,25 @@ def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wqkv_ref, wg_ref,
         d_branch_b, wo_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (n_pad, C)
+    )  # (n_pad, gh * 32)
 
     d_gn = jnp.zeros_like(gn)
     go_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
     dwgt_rows, dgb_rows = [], []
-    for h in range(heads):
+    for j in range(gh):
         o_h, a_un, p_un, l, q_r, k_r, v = _attn_fwd_head(
-            qkv, h, c, cos, sin, seed_ref, rate, n, dtype
+            q_all, k_all, v_all, j, grp * gh + j, cos, sin, seed_ref, rate,
+            n, dtype,
         )
-        gate = _gate_of(gn, wg_ref, gb_ref, h)
+        gate = _gate_of(gn, wg_ref, gb_ref, j)
         go_parts.append((o_h * gate).astype(dtype))
-        d_go_h = d_go[:, h * d : (h + 1) * d]
+        d_go_h = d_go[:, j * d : (j + 1) * d]
         d_o = d_go_h * gate
         # gate pullback: z = gn . wg_h + b_h, gate = sigmoid(z)
         d_z = (
             jnp.sum(d_go_h * o_h, axis=1, keepdims=True) * gate * (1.0 - gate)
         )
-        d_gn += d_z * wg_ref[h, :][None, :]
+        d_gn += d_z * wg_ref[j, :][None, :]
         dwgt_rows.append(jnp.sum(d_z * gn, axis=0, keepdims=True))
         dgb_rows.append(
             jnp.broadcast_to(
@@ -364,7 +398,7 @@ def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wqkv_ref, wg_ref,
         )
         if rate > 0.0:
             dp = dp * _dropmask(
-                seed_ref, pid, _SITE_ATTN, h, dp.shape, rate
+                seed_ref, pid, _SITE_ATTN, grp * gh + j, dp.shape, rate
             )
         ds = (p_un * (dp - delta)).astype(dtype)
         dq_parts.append(
@@ -397,53 +431,84 @@ def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wqkv_ref, wg_ref,
             )
         )
 
-    # gate-parameter rows land as ONE full-block update (Mosaic dislikes
-    # repeated single-row read-modify-writes below sublane granularity)
-    hp = dwgt_ref.shape[0]
+    # gate-parameter rows land as ONE padded (8, .) tile update at the
+    # group's dynamic row offset (Mosaic dislikes repeated single-row
+    # read-modify-writes below sublane granularity)
+    def _rows8(rows):
+        blk = rows[0] if gh == 1 else jnp.concatenate(rows, axis=0)
+        return blk if gh == 8 else jnp.pad(blk, ((0, 8 - gh), (0, 0)))
 
-    def _rows(rows):
-        blk = rows[0] if heads == 1 else jnp.concatenate(rows, axis=0)
-        return blk if hp == heads else jnp.pad(blk, ((0, hp - heads), (0, 0)))
+    dwgt_ref[pl.ds(grp * 8, 8), :] += _rows8(dwgt_rows)
+    dgb_ref[pl.ds(grp * 8, 8), :] += _rows8(dgb_rows)
 
-    dwgt_ref[...] += _rows(dwgt_rows)
-    dgb_ref[...] += _rows(dgb_rows)
-
-    group_out = (
-        go_parts[0] if heads == 1 else jnp.concatenate(go_parts, axis=1)
-    )
-    dwo_ref[...] += jax.lax.dot_general(
+    group_out = go_parts[0] if gh == 1 else jnp.concatenate(go_parts, axis=1)
+    ghd = gh * d
+    dwo_ref[pl.ds(grp * ghd, ghd), :] += jax.lax.dot_general(
         group_out, d_branch_b,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    d_qkv = jnp.concatenate(
-        [p.astype(dtype) for p in dq_parts + dk_parts + dv_parts], axis=1
-    )  # (n_pad, 3C)
-    dwqkv_ref[...] += jax.lax.dot_general(
-        gnb, d_qkv,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    d_gn += jax.lax.dot_general(
-        d_qkv, wqkv_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dgamma_ref[...] += jnp.sum(d_gn * nrm * (c**0.5), axis=0, keepdims=True)
-    dx_ref[0] = _rms_bwd(d_gn, nrm, r, agamma_ref[...], c).astype(dx_ref.dtype)
+
+    def _cat(parts):
+        p = parts[0] if gh == 1 else jnp.concatenate(parts, axis=1)
+        return p.astype(dtype)  # (n_pad, gh * 32)
+
+    for ref, w_ref, cat in (
+        (dwq_ref, wq_ref, _cat(dq_parts)),
+        (dwk_ref, wk_ref, _cat(dk_parts)),
+        (dwv_ref, wv_ref, _cat(dv_parts)),
+    ):
+        ref[pl.ds(grp * c, c), :] += jax.lax.dot_general(
+            gnb, cat,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_gn += jax.lax.dot_general(
+            cat, w_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(grp == 0)
+    def _set_dgn():
+        dgn_acc[...] = d_gn
+
+    if groups > 1:
+
+        @pl.when(grp > 0)
+        def _add_dgn():
+            dgn_acc[...] += d_gn
+
+    @pl.when(grp == groups - 1)
+    def _finish():
+        d_total = dgn_acc[...]
+        val = jnp.sum(d_total * nrm * (c**0.5), axis=0, keepdims=True)
+        # first item SETS dgamma (the ref starts uninitialized); later items
+        # accumulate — a where instead of nested pl.when
+        dgamma_ref[...] = jnp.where(pid == 0, val, dgamma_ref[...] + val)
+        dx_ref[0] = _rms_bwd(d_total, nrm, r, agamma_ref[...], c).astype(
+            dx_ref.dtype
+        )
 
 
-def _attn_train_operands(x, attn_params, rope_cos, rope_sin, heads, seed):
+def _attn_train_operands(x, attn_params, rope_cos, rope_sin, heads, gh,
+                         seed):
+    """Pad/cast/split the shared fwd+bwd operands for the (items, groups)
+    grid: qkv weights split into per-head-group column panels, gate weights
+    and biases laid out one padded (8, .) tile per group (the eval kernel's
+    layout — a (1, 128) block over a (groups, 128) array violates Mosaic's
+    sublane tiling whenever groups > 1)."""
     items, n, c = x.shape
     n_pad = -(-n // 128) * 128
-    hp = _heads_pad(heads)
+    groups = heads // gh
     wdtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    qkv_w = attn_params["qkv_w"].astype(wdtype)  # (C, 3C), torch "(qkv h d)"
+    wq, wk, wv = qkv_w[:, :c], qkv_w[:, c : 2 * c], qkv_w[:, 2 * c :]
     wg = jnp.swapaxes(attn_params["gates_w"].astype(jnp.float32), 0, 1)
-    wg = jnp.pad(wg, ((0, hp - heads), (0, 0)))  # (hp, C)
-    gb = jnp.pad(
-        attn_params["gates_b"].astype(jnp.float32).reshape(1, heads),
-        ((0, 0), (0, 128 - heads)),
-    )
+    wg = jnp.pad(wg.reshape(groups, gh, c), ((0, 0), (0, 8 - gh), (0, 0)))
+    wg = wg.reshape(groups * 8, c)
+    gb = attn_params["gates_b"].astype(jnp.float32).reshape(groups, 1, gh)
+    gb = jnp.pad(gb, ((0, 0), (0, 7), (0, 128 - gh))).reshape(groups * 8, 128)
     xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
     cosf = jnp.repeat(rope_cos[:n].astype(jnp.float32), 2, axis=-1)
     sinf = jnp.repeat(rope_sin[:n].astype(jnp.float32), 2, axis=-1)
@@ -453,29 +518,34 @@ def _attn_train_operands(x, attn_params, rope_cos, rope_sin, heads, seed):
         seed,
         xp,
         attn_params["norm_gamma"].astype(jnp.float32).reshape(1, c),
-        attn_params["qkv_w"].astype(wdtype),
+        wq,
+        wk,
+        wv,
         wg,
         gb,
         attn_params["out_w"].astype(wdtype),
         cosp,
         sinp,
     )
-    return ops, n_pad, hp
+    return ops, n_pad
 
 
-def _attn_train_specs(n_pad, c, hp, kwargs, interpret):
-    from beat_this_tpu.ops.fused_ff import _seed_spec
+def _attn_train_specs(n_pad, c, gh, kwargs, interpret):
+    from beat_this_tpu.ops.flash_attention import _seed_spec
 
+    ghd = gh * _HEAD_DIM
     return [
         _seed_spec(interpret),
-        pl.BlockSpec((1, n_pad, c), lambda i: (i, 0, 0), **kwargs),
-        pl.BlockSpec((1, c), lambda i: (0, 0), **kwargs),
-        pl.BlockSpec((c, 3 * c), lambda i: (0, 0), **kwargs),
-        pl.BlockSpec((hp, c), lambda i: (0, 0), **kwargs),
-        pl.BlockSpec((1, 128), lambda i: (0, 0), **kwargs),
-        pl.BlockSpec((c, c), lambda i: (0, 0), **kwargs),
-        pl.BlockSpec((1, n_pad, _HEAD_DIM), lambda i: (0, 0, 0), **kwargs),
-        pl.BlockSpec((1, n_pad, _HEAD_DIM), lambda i: (0, 0, 0), **kwargs),
+        pl.BlockSpec((1, n_pad, c), lambda i, g: (i, 0, 0), **kwargs),
+        pl.BlockSpec((1, c), lambda i, g: (0, 0), **kwargs),
+        pl.BlockSpec((c, ghd), lambda i, g: (0, g), **kwargs),
+        pl.BlockSpec((c, ghd), lambda i, g: (0, g), **kwargs),
+        pl.BlockSpec((c, ghd), lambda i, g: (0, g), **kwargs),
+        pl.BlockSpec((8, c), lambda i, g: (g, 0), **kwargs),
+        pl.BlockSpec((8, 128), lambda i, g: (g, 0), **kwargs),
+        pl.BlockSpec((ghd, c), lambda i, g: (g, 0), **kwargs),
+        pl.BlockSpec((1, n_pad, _HEAD_DIM), lambda i, g: (0, 0, 0), **kwargs),
+        pl.BlockSpec((1, n_pad, _HEAD_DIM), lambda i, g: (0, 0, 0), **kwargs),
     ]
 
 
@@ -498,18 +568,27 @@ def _fused_time_attn_train(x, agamma, qkv_w, gates_w, gates_b, out_w,
         "gates_b": gates_b, "out_w": out_w,
     }
     items, n, c = x.shape
-    ops, n_pad, hp = _attn_train_operands(
-        x, attn, rope_cos, rope_sin, heads, seed
+    gh = _group_heads(heads)
+    groups = heads // gh
+    ops, n_pad = _attn_train_operands(
+        x, attn, rope_cos, rope_sin, heads, gh, seed
     )
     kwargs = {}
     if _MEMORY_SPACE is not None and not interpret:
         kwargs = {"memory_space": _MEMORY_SPACE}
     out = pl.pallas_call(
-        functools.partial(_attn_train_kernel, n=n, heads=heads, rate=rate),
-        grid=(items,),
-        in_specs=_attn_train_specs(n_pad, c, hp, kwargs, interpret),
-        out_specs=pl.BlockSpec((1, n_pad, c), lambda i: (i, 0, 0), **kwargs),
+        functools.partial(
+            _attn_train_kernel, n=n, gh=gh, groups=groups, rate=rate
+        ),
+        grid=(items, groups),
+        in_specs=_attn_train_specs(n_pad, c, gh, kwargs, interpret),
+        out_specs=pl.BlockSpec(
+            (1, n_pad, c), lambda i, g: (i, 0, 0), **kwargs
+        ),
         out_shape=jax.ShapeDtypeStruct((items, n_pad, c), x.dtype),
+        # float32 output accumulator persisting across the sequential group
+        # dimension (re-initialized at group 0 of every item)
+        scratch_shapes=[pltpu.VMEM((n_pad, c), jnp.float32)],
         interpret=interpret,
         **_train_vmem(interpret),
     )(*ops)
@@ -535,44 +614,71 @@ def _fused_time_attn_train_bwd(heads, interpret, rate, residuals, do):
         "gates_b": gates_b, "out_w": out_w,
     }
     items, n, c = x.shape
-    ops, n_pad, hp = _attn_train_operands(
-        x, attn, rope_cos, rope_sin, heads, seed
+    gh = _group_heads(heads)
+    groups = heads // gh
+    ghd = gh * _HEAD_DIM
+    ops, n_pad = _attn_train_operands(
+        x, attn, rope_cos, rope_sin, heads, gh, seed
     )
     do_p = jnp.pad(do.astype(x.dtype), ((0, 0), (0, n_pad - n), (0, 0)))
     kwargs = {}
     if _MEMORY_SPACE is not None and not interpret:
         kwargs = {"memory_space": _MEMORY_SPACE}
-    block = pl.BlockSpec((1, n_pad, c), lambda i: (i, 0, 0), **kwargs)
-    dx, dgamma, dwqkv, dwgt, dgb, dwo = pl.pallas_call(
-        functools.partial(_attn_train_bwd_kernel, n=n, heads=heads,
-                          rate=rate),
-        grid=(items,),
-        in_specs=_attn_train_specs(n_pad, c, hp, kwargs, interpret) + [block],
+    block = pl.BlockSpec((1, n_pad, c), lambda i, g: (i, 0, 0), **kwargs)
+    # parameter gradients live in constant-index (whole-array) refs: the
+    # grid revisits any per-group output block non-consecutively across
+    # items, which the Mosaic pipeline does not refetch — each program
+    # instead updates its group's rows at a dynamic offset. The q/k/v
+    # panels are stacked on the sublane axis, (groups * C, gh * 32).
+    dx, dgamma, dwq, dwk, dwv, dwgt, dgb, dwo = pl.pallas_call(
+        functools.partial(
+            _attn_train_bwd_kernel, n=n, gh=gh, groups=groups, rate=rate
+        ),
+        grid=(items, groups),
+        in_specs=_attn_train_specs(n_pad, c, gh, kwargs, interpret) + [block],
         out_specs=(
             block,
-            pl.BlockSpec((1, c), lambda i: (0, 0), **kwargs),
-            pl.BlockSpec((c, 3 * c), lambda i: (0, 0), **kwargs),
-            pl.BlockSpec((hp, c), lambda i: (0, 0), **kwargs),
-            pl.BlockSpec((hp, 128), lambda i: (0, 0), **kwargs),
-            pl.BlockSpec((c, c), lambda i: (0, 0), **kwargs),
+            pl.BlockSpec((1, c), lambda i, g: (0, 0), **kwargs),
+            pl.BlockSpec((groups * c, ghd), lambda i, g: (0, 0), **kwargs),
+            pl.BlockSpec((groups * c, ghd), lambda i, g: (0, 0), **kwargs),
+            pl.BlockSpec((groups * c, ghd), lambda i, g: (0, 0), **kwargs),
+            pl.BlockSpec((groups * 8, c), lambda i, g: (0, 0), **kwargs),
+            pl.BlockSpec((groups * 8, 128), lambda i, g: (0, 0), **kwargs),
+            pl.BlockSpec((c, c), lambda i, g: (0, 0), **kwargs),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((items, n_pad, c), x.dtype),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
-            jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
-            jax.ShapeDtypeStruct((hp, c), jnp.float32),
-            jax.ShapeDtypeStruct((hp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((groups * c, ghd), jnp.float32),
+            jax.ShapeDtypeStruct((groups * c, ghd), jnp.float32),
+            jax.ShapeDtypeStruct((groups * c, ghd), jnp.float32),
+            jax.ShapeDtypeStruct((groups * 8, c), jnp.float32),
+            jax.ShapeDtypeStruct((groups * 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((c, c), jnp.float32),
         ),
+        # float32 d_gn accumulator persisting across the group dimension
+        scratch_shapes=[pltpu.VMEM((n_pad, c), jnp.float32)],
         interpret=interpret,
         **_train_vmem(interpret),
     )(*ops, do_p)
+
+    def _wpanel(raw):
+        # (groups * C, gh * 32) sublane-stacked panels -> (C, C) with
+        # columns in model head order
+        return raw.reshape(groups, c, ghd).transpose(1, 0, 2).reshape(c, c)
+
+    heads_n = gates_w.shape[1]
+    dwqkv = jnp.concatenate(
+        [_wpanel(dwq), _wpanel(dwk), _wpanel(dwv)], axis=1
+    )
+    dwgt_h = dwgt.reshape(groups, 8, c)[:, :gh].reshape(heads_n, c)
+    dgb_h = dgb.reshape(groups, 8, 128)[:, :gh, 0].reshape(heads_n)
     return (
         dx[:, :n, :],
         dgamma.reshape(agamma.shape),
         dwqkv.astype(qkv_w.dtype),
-        jnp.swapaxes(dwgt[: gates_w.shape[1]], 0, 1).astype(gates_w.dtype),
-        dgb[: gates_b.shape[0], 0].astype(gates_b.dtype),
+        jnp.swapaxes(dwgt_h, 0, 1).astype(gates_w.dtype),
+        dgb_h.astype(gates_b.dtype),
         dwo.astype(out_w.dtype),
         None,  # rope_cos
         None,  # rope_sin
@@ -596,21 +702,24 @@ def fused_time_attention_train(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Differentiable `dropout(out_proj(gated_attention(rmsnorm(x))))` —
-    the whole attention residual BRANCH (caller adds x) in one kernel per
-    (item, all heads), with torch dropout placement (on the attention
-    probabilities and after the output projection). The masks regenerate
-    from `seed` in the backward kernel, which recomputes the block from x —
-    no probabilities, activations, or masks cross HBM between passes.
+    the whole attention residual BRANCH (caller adds x) fused over a
+    (items, head_groups) grid, with torch dropout placement (on the
+    attention probabilities and after the output projection). The masks
+    regenerate from `seed` in the backward kernel, which recomputes the
+    branch from x — no probabilities, activations, or masks cross HBM
+    between passes, and per-program VMEM is bounded by the <= 4 heads each
+    group owns, so every head count the model uses (1/2/4/16) compiles on
+    real hardware.
 
     Matches layers.attention_block (reference beat_this/model/roformer.py:
-    83-132) semantics. Requires C == heads * 32. On real TPUs, usable only
-    for heads <= 4: all heads share one program, and the stacked
-    whole-sequence score transients exceed scoped VMEM at heads=16 (see
-    the module docstring); interpret mode has no such limit.
+    83-132) semantics. Requires C == heads * 32 and heads in {1, 2} or a
+    multiple of 4 (head groups are whole MXU lane tiles of qkv columns).
     """
     items, n, c = x.shape
     if c != heads * _HEAD_DIM or attn_params["out_w"].shape != (c, c):
         raise ValueError("fused_time_attention_train: bad geometry")
+    if heads > 2 and heads % _MAX_HEADS_PER_GROUP:
+        raise ValueError(f"heads={heads} must be 1, 2, or a multiple of 4")
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
     else:

@@ -399,22 +399,13 @@ class DbnDecoder:
         return outputs
 
     def __call__(self, activations: np.ndarray) -> np.ndarray:
-        """activations: (T, 2) [beat-only, downbeat] probabilities."""
-        activations = np.asarray(activations, dtype=np.float64)
-        first = 0
-        if self.threshold:
-            activations, first = threshold_activations(activations, self.threshold)
-        if not activations.any():
-            return np.empty((0, 2))
-        log_densities = self._log_densities(activations)
-        results = [self._forward_pattern(h, log_densities) for h in self.patterns]
-        best = int(np.argmax([r[0] for r in results]))
-        _, state, choices = results[best]
-        hmm = self.patterns[best]
-        path = np.asarray(
-            _backtrack(jnp.asarray(hmm.from_idx), choices, state)
-        )[: len(activations)].astype(np.int64)
-        return self._path_to_beats(hmm, path, activations, first)
+        """activations: (T, 2) [beat-only, downbeat] probabilities.
+
+        Routed through `decode_many` so the single-piece path (the CLI's
+        --dbn route for one file) shares the batched two-dispatch decode —
+        one forward scan and one winner-only backtrack — instead of paying
+        per-pattern dispatches."""
+        return self.decode_many([activations])[0]
 
     def _path_to_beats(self, hmm: PatternHmm, path: np.ndarray,
                        activations: np.ndarray, first: int) -> np.ndarray:

@@ -337,12 +337,19 @@ class Trainer:
         for batch in self.dm.val_batches():
             arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
             out, parts = eval_step(ts.params, ts.bn_state, arrays)
-            all_losses.append({k: float(jax.device_get(v)) for k, v in parts.items()})
+            # the datamodule zero-pads the final ragged batch to the compiled
+            # batch shape (no retrace); the padded rows contribute zero loss
+            # numerator, so rescaling the mean by rows/n_valid is exact
+            n_valid = batch.get("n_valid", len(batch["padding_mask"]))
+            scale = len(batch["padding_mask"]) / n_valid
+            all_losses.append(
+                {k: float(jax.device_get(v)) * scale for k, v in parts.items()}
+            )
             beat, downbeat = self.postprocessor(
                 np.asarray(out["beat"]), np.asarray(out["downbeat"]),
                 batch["padding_mask"],
             )
-            for i in range(len(beat)):
+            for i in range(n_valid):
                 m_beat = self.metrics(
                     batch["truth_orig_beat"][i], beat[i], step="val"
                 )

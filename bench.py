@@ -20,6 +20,36 @@ import time
 import numpy as np
 
 
+def model_flops(config, t):
+    """Analytic matmul/conv FLOPs (2 x MACs) of one eval forward over a
+    t-frame chunk — elementwise/norm work excluded, so this slightly
+    UNDERSTATES the true utilization. Geometry per model/beat_this.py:
+    stem conv (3,4)/s(1,4) 1->32ch over 128 mel bins; three frontend blocks
+    (partial F+T roformers at dim 32/64/128 over freq 32/16/8, then conv
+    (3,2)/s(1,2) doubling channels); projection 1024->D; D-dim main
+    transformer x n_layers; 2-unit head."""
+
+    def roformer(n, d):
+        # qkv (2*n*d*3d) + scores/pv (2 x 2*n^2*d) + out (2*n*d*d)
+        # + ff (2 x 2*n*d*4d); gate matmuls are O(n*d*heads), negligible
+        return 24 * n * d * d + 4 * n * n * d
+
+    fl = 2 * t * 32 * config.stem_dim * 3 * 4 * 1  # stem conv
+    freq = 32
+    dim = config.stem_dim
+    for _ in range(3):
+        fl += t * roformer(freq, dim)  # freq partial: t seqs of len freq
+        fl += freq * roformer(t, dim)  # time partial: freq seqs of len t
+        fl += 2 * t * (freq // 2) * (2 * dim) * 3 * 2 * dim  # block conv
+        freq //= 2
+        dim *= 2
+    d = config.transformer_dim
+    fl += 2 * t * (freq * dim) * d  # projection
+    fl += config.n_layers * roformer(t, d)  # main transformer
+    fl += 2 * t * d * 2  # head
+    return fl
+
+
 def bench_train_step(config):
     """Seconds per optimizer step (bs 8 x accum 8, 1500-frame crops, bf16) —
     the reference's training configuration (train.py:118-129). Returns None
@@ -59,18 +89,19 @@ def bench_train_step(config):
     jax.device_get(parts["total"])
     ts, parts = step(ts, batch, key)  # warm
     jax.device_get(parts["total"])
-    # time each step separately and report the fastest: host-dispatched
+    # time each step separately and report min AND median: host-dispatched
     # steps go through the axon relay, which intermittently stalls a
-    # dispatch for seconds — the mean then measures the relay, not the chip
-    # (observed 5.0 s means vs a stable 1.4 s minimum)
+    # dispatch for seconds — a mean measures the relay, not the chip
+    # (observed 5.0 s means vs a stable 1.4 s minimum); the median shows
+    # whether the minimum is representative or a lucky outlier
     iters = 5
-    best = float("inf")
+    times = []
     for i in range(iters):
         t0 = time.perf_counter()
         ts, parts = step(ts, batch, jax.random.fold_in(key, i))
         jax.device_get(parts["total"])
-        best = min(best, time.perf_counter() - t0)
-    return best
+        times.append(time.perf_counter() - t0)
+    return min(times), float(np.median(times))
 
 
 def main():
@@ -131,13 +162,19 @@ def main():
         jax.device_get(forward_many(params, state, xs))
     jax.device_get(forward_many(params, state, xs))
 
-    # steady-state timing
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward_many(params, state, xs)
-    jax.device_get(out)
-    elapsed = time.perf_counter() - t0
+    # steady-state timing: one sample = 3 back-to-back scan dispatches with
+    # a single device_get at the end (pipelined, so the ~0.35 s relay round
+    # trip amortizes — same unit as rounds 1-3); min over samples is the
+    # chip number, median shows whether the relay stalled mid-run
+    iters, samples = 3, 3
+    times = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = forward_many(params, state, xs)
+        jax.device_get(out)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
 
     # each chunk contributes chunk - 2*border unique frames in the
     # overlapped inference scheme
@@ -149,17 +186,35 @@ def main():
         "value": round(value, 1),
         "unit": "x_realtime",
         "vs_baseline": round(value / 2000.0, 3),
+        "value_median": round(audio_seconds / float(np.median(times)), 1),
+        "fallback_triggered": bool(fallback),
     }
     if fallback:
         record["fused_time_fallback"] = fallback
+    # MFU estimate from an ANALYTIC flop count (XLA's cost_analysis sees the
+    # Pallas custom calls as zero flops) over the peak bf16 rate (v5e:
+    # 197 TFLOP/s; override via BEAT_THIS_PEAK_TFLOPS for other chips)
+    flops = model_flops(config, chunk) * iters * scan_len * batch
+    peak = float(os.environ.get("BEAT_THIS_PEAK_TFLOPS", "197")) * 1e12
+    record["mfu_pct"] = round(100.0 * flops / elapsed / peak, 2)
     # training-step capture (reference config: bs 8 x accum 8 = effective 64
     # crops of 1500 frames per optimizer step); optional so a failure cannot
     # take down the headline metric, skippable for a quick inference-only run
     if not os.environ.get("BEAT_THIS_BENCH_NO_TRAIN"):
-        try:
-            step_s = bench_train_step(config)
+
+        def _train_record(step_s, median_s):
             record["train_step_s"] = round(step_s, 3)
+            record["train_step_s_median"] = round(median_s, 3)
             record["train_x_realtime"] = round(64 * chunk / fps / step_s, 1)
+            # fwd + bwd of the effective 64-crop batch ~ 3x the forward cost
+            tr_flops = 3 * model_flops(config, chunk) * 64
+            record["train_mfu_pct"] = round(
+                100.0 * tr_flops / step_s / peak, 2
+            )
+
+        try:
+            _train_record(*bench_train_step(config))
+            record["train_fallback_triggered"] = False
         except Exception as exc:  # pragma: no cover
             record["train_error"] = f"{type(exc).__name__}: {exc}"[:200]
             try:  # same safety net as the eval forward above
@@ -168,12 +223,8 @@ def main():
                 os.environ["BEAT_THIS_NO_FUSED_TIME_TRAIN"] = "1"
                 layers._fused_time_train_enabled.cache_clear()
                 jax.clear_caches()
-                step_s = bench_train_step(config)
-                record["train_step_s"] = round(step_s, 3)
-                record["train_x_realtime"] = round(
-                    64 * chunk / fps / step_s, 1
-                )
-                record["train_fused_time_fallback"] = True
+                _train_record(*bench_train_step(config))
+                record["train_fallback_triggered"] = True
             except Exception:
                 pass
     print(json.dumps(record))

@@ -95,7 +95,10 @@ def test_rejects_bad_head_geometry():
 # --- training twin: whole attention branch with a custom VJP ---------------
 
 
-@pytest.mark.parametrize("heads,n,items", [(1, 140, 2), (4, 130, 2), (16, 129, 1)])
+@pytest.mark.parametrize(
+    "heads,n,items",
+    [(1, 140, 2), (2, 136, 2), (4, 130, 2), (8, 140, 2), (16, 129, 1)],
+)
 def test_train_forward_and_grads_match_composable(heads, n, items):
     """The custom-VJP training kernel (rate=0 on CPU: pltpu.prng has no
     interpret rule; the dropout path is gradchecked by the TPU gate) must
@@ -175,12 +178,13 @@ def test_train_rejects_dropout_in_interpret_mode():
         )
 
 
-def test_train_router_caps_head_count(monkeypatch):
-    """layers.time_attention_train must route heads=16 (the main
-    transformer) to the composable path — the all-heads-per-program
-    training kernel exceeds scoped VMEM there (measured 126.86 MB vs the
-    110 MB v5e ceiling) — while still taking the fused kernel at the
-    frontend head counts."""
+def test_train_router_head_geometry(monkeypatch):
+    """layers.time_attention_train must route every head count the model
+    uses (frontend 1/2/4, main transformer 16) to the fused training
+    kernel — the round-4 (items, head_groups) re-grid lifted the old
+    heads<=4 VMEM cap — while head counts the grid cannot tile (heads > 2
+    and not a multiple of 4) and heads above FUSED_TIME_TRAIN_MAX_HEADS
+    fall back to the composable path."""
     from beat_this_tpu.model import layers
     from beat_this_tpu.ops import fused_time
 
@@ -202,15 +206,17 @@ def test_train_router_caps_head_count(monkeypatch):
     monkeypatch.setattr(layers, "attention_block", fake_composable)
     monkeypatch.setattr(layers, "_flash_enabled", lambda: True)
     monkeypatch.setattr(layers, "_fused_time_train_enabled", lambda: True)
+    monkeypatch.setattr(layers, "FUSED_TIME_TRAIN_MAX_HEADS", 16)
 
     n = layers.FLASH_MIN_SEQ
     rng = np.random.RandomState(0)
     rope = rope_tables(n, 32)
-    for heads in (4, 16):
+    for heads in (1, 2, 4, 6, 16, 32):
         attn, _ = _params(rng, heads * 32, heads)
         x = jnp.asarray(rng.randn(1, n, heads * 32), jnp.float32)
         out = layers.time_attention_train(attn, x, rope, heads)
         assert out.shape == x.shape
-    assert calls == [4] and fallbacks == [16], (
-        "fused kernel must serve heads=4 only; heads=16 falls back"
+    assert calls == [1, 2, 4, 16] and fallbacks == [6, 32], (
+        "fused kernel must serve 1/2/4/16; 6 (untileable) and 32 (above "
+        "the cap) fall back"
     )

@@ -212,6 +212,133 @@ def test_real_released_checkpoint_parity(reference_beat_tracker):
         )
 
 
+@pytest.fixture(scope="module")
+def reference_inference(reference_beat_tracker):
+    """Import the reference's own inference + postprocessor modules
+    (`split_predict_aggregate`, torch `Postprocessor`), stubbing only the
+    audio-IO deps this sandbox lacks (soxr, torchaudio) — the chunking,
+    aggregation and peak-picking code under test never touches them."""
+    for name in ("soxr", "torchaudio"):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                sys.modules[name] = types.ModuleType(name)
+    sys.path.insert(0, str(REFERENCE_ROOT))
+    try:
+        from beat_this import inference as ref_inference
+        from beat_this.model import postprocessor as ref_postprocessor
+    finally:
+        sys.path.remove(str(REFERENCE_ROOT))
+    return ref_inference, ref_postprocessor
+
+
+@pytest.mark.parametrize("overlap_mode", ["keep_first", "keep_last"])
+def test_whole_pipeline_beat_times_match_reference(
+    reference_beat_tracker, reference_inference, overlap_mode
+):
+    """North-star approximation without network: the reference's own
+    `split_predict_aggregate` (beat_this/inference.py:188-230) + torch
+    `Postprocessor("minimal")` (beat_this/model/postprocessor.py:85-136)
+    against our `ChunkedPredictor` + `Postprocessor` on the same
+    random-weight model over a multi-chunk piece (3+ chunk boundaries,
+    incl. the shifted avoid-short-end final chunk) — the postprocessed
+    beat/downbeat TIMES, the unit the 0.001-F target is denominated in,
+    must be identical."""
+    ref_inf, ref_post = reference_inference
+    from beat_this_tpu.inference import ChunkedPredictor, LoadedModel
+    from beat_this_tpu.postprocessing import Postprocessor
+
+    config = BeatThisConfig(transformer_dim=128, n_layers=2)
+    model = _reference_model(
+        reference_beat_tracker, transformer_dim=128, n_layers=2
+    )
+    # raise the head bias so the random-weight logits cross the peak
+    # threshold (logit > 0) often enough to exercise the whole pipeline
+    with torch.no_grad():
+        model.task_heads.beat_downbeat_lin.bias += 1.0
+        model.task_heads.beat_downbeat_lin.weight *= 4.0
+    params, state = torch_state_dict_to_pytree(
+        {k: v.numpy() for k, v in model.state_dict().items()}, config
+    )
+
+    t, chunk_size, border = 900, 300, 6
+    spect = np.random.RandomState(42).randn(t, 128).astype(np.float32) * 1.5
+
+    with torch.no_grad():
+        pred = ref_inf.split_predict_aggregate(
+            torch.from_numpy(spect), chunk_size, border, overlap_mode, model
+        )
+    post_ref = ref_post.Postprocessor("minimal", fps=50)
+    beat_ref, down_ref = post_ref(pred["beat"], pred["downbeat"])
+
+    predictor = ChunkedPredictor(
+        LoadedModel(config, params, state),
+        chunk_size=chunk_size,
+        border_size=border,
+        overlap_mode=overlap_mode,
+    )
+    beat_logits, down_logits = predictor.predict(spect)
+    post_ours = Postprocessor("minimal", fps=50)
+    beat_ours, down_ours = post_ours(beat_logits, down_logits)
+
+    assert len(beat_ref) >= 5, "degenerate fixture: too few peaks"
+    np.testing.assert_array_equal(np.asarray(beat_ours), np.asarray(beat_ref))
+    np.testing.assert_array_equal(np.asarray(down_ours), np.asarray(down_ref))
+
+
+def test_postprocessor_minimal_matches_reference_on_crafted_logits(
+    reference_inference,
+):
+    """Crafted logits exercising every host-tail branch — adjacent peaks
+    (deduplicate_peaks cluster merging), plateaus (max-pool ties), downbeat
+    snapping to the nearest beat, duplicate-downbeat collapse, empty peak
+    sets, and a padding mask — must postprocess to identical times through
+    the reference's torch Postprocessor and ours."""
+    _, ref_post = reference_inference
+    from beat_this_tpu.postprocessing import Postprocessor
+
+    t = 200
+    beat = np.full(t, -5.0, np.float32)
+    down = np.full(t, -5.0, np.float32)
+    # isolated peaks
+    beat[[10, 40, 90]] = 2.0
+    # adjacent above-threshold frames separated by a dip: after the 7-wide
+    # max-pool both survive only if equal-max; craft a tie plateau
+    beat[60] = beat[61] = 3.0
+    # a cluster for deduplicate_peaks: peaks 4 frames apart both survive
+    # the pool (local maxima over +/-3)
+    beat[120] = 1.5
+    beat[124] = 1.4
+    # downbeats: one on a beat, one between beats (snaps to nearest), two
+    # snapping to the same beat (np.unique collapse)
+    down[[40, 88, 92]] = 1.0
+    # padded tail that must be ignored
+    mask = np.ones(t, bool)
+    mask[180:] = False
+    beat[185] = 4.0  # would be a peak if the mask leaked
+
+    post_ref = ref_post.Postprocessor("minimal", fps=50)
+    b_ref, d_ref = post_ref(
+        torch.from_numpy(beat), torch.from_numpy(down), torch.from_numpy(mask)
+    )
+    post_ours = Postprocessor("minimal", fps=50)
+    b_ours, d_ours = post_ours(beat, down, mask)
+    np.testing.assert_array_equal(np.asarray(b_ours), np.asarray(b_ref))
+    np.testing.assert_array_equal(np.asarray(d_ours), np.asarray(d_ref))
+
+    # empty input: no peaks at all
+    b_ref, d_ref = post_ref(
+        torch.from_numpy(np.full(t, -5.0, np.float32)),
+        torch.from_numpy(np.full(t, -5.0, np.float32)),
+    )
+    b_ours, d_ours = post_ours(
+        np.full(t, -5.0, np.float32), np.full(t, -5.0, np.float32)
+    )
+    assert len(b_ours) == len(b_ref) == 0
+    assert len(d_ours) == len(d_ref) == 0
+
+
 def test_short_piece_logits_match_reference_shorter_chunk(reference_beat_tracker):
     """A piece shorter than one chunk must reproduce the reference's
     single-SHORTER-chunk forward (reference inference.py:111-135), not a

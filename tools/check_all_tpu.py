@@ -356,18 +356,17 @@ def check_fused_time_parity():
 def check_fused_time_dropout_gradcheck():
     """Directional gradcheck of the fused time-attention TRAINING kernel
     (ops/fused_time.fused_time_attention_train) with in-kernel dropout
-    active, at the frontend geometries it is actually routed to (heads <=
-    layers.FUSED_TIME_TRAIN_MAX_HEADS; heads=16 exceeds scoped VMEM — the
-    main transformer trains through the flash kernels, covered by
-    flash_dropout_gradcheck). The seed must regenerate identical masks
-    across the primal, VJP-forward, and backward kernels."""
+    active, at EVERY head count the model routes to it — frontend 1/2/4
+    and, since the round-4 (items, head_groups) re-grid lifted the scoped-
+    VMEM cap, the main transformer's heads=16. The seed must regenerate
+    identical masks across the primal, VJP-forward, and backward kernels."""
     import jax.numpy as jnp
 
     from beat_this_tpu.ops.fused_time import fused_time_attention_train
     from beat_this_tpu.ops.rotary import rope_tables
 
     out = {}
-    for heads, items in [(2, 4), (4, 4)]:
+    for heads, items in [(1, 4), (2, 4), (4, 4), (16, 1)]:
         c = heads * 32
         n = 1500
         rng = np.random.RandomState(40 + heads)

@@ -1,11 +1,12 @@
 #!/usr/bin/env python3
 """Standalone Mosaic compile probe for the fused_time TRAINING kernels on
-the real TPU. bench.py r3 showed the training attention-branch kernel
-(`fused_time_attention_train`) fails remote compile (HTTP 500,
-tpu_compile_helper exit 1) at the main transformer's heads=16 geometry
-while the eval kernel compiles and runs; this probes each geometry the
-model uses (frontend heads=1/2/4, main heads=16) separately, forward and
-grad, to localize the failure. Run: python tools/probe_fused_time_train_tpu.py
+the real TPU, at every geometry the model routes to them (frontend
+heads=1/2/4 and, since the round-4 (items, head_groups) re-grid, the main
+transformer's heads=16), forward and grad. Round 3's all-heads-per-program
+version failed remote compile at heads=16 (scoped-VMEM OOM, 126.86 MB vs
+the v5e's 110 MB ceiling); this probe is the cheap (~20-60 s/kernel)
+standalone gate to run after any kernel change BEFORE paying a ~25 min
+cold full-model compile. Run: python tools/probe_fused_time_train_tpu.py
 """
 
 import os
@@ -66,7 +67,7 @@ def main():
         default_dir=os.path.expanduser("~/.cache/beat_this_tpu/xla-cache")
     )
     print("platform:", jax.devices()[0].platform, flush=True)
-    for heads in (4, 16):
+    for heads in (1, 2, 4, 16):
         for grad in (False, True):
             tag = f"heads={heads} grad={grad}"
             try:
