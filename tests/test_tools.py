@@ -47,3 +47,44 @@ def test_maybe_trace_noop(monkeypatch):
     monkeypatch.delenv("BEAT_THIS_TRACE_DIR", raising=False)
     with maybe_trace():  # no-op without the env var
         pass
+
+
+def test_bench_model_flops_matches_xla_cost_analysis(monkeypatch):
+    """bench.model_flops (the MFU denominator) counts matmul/conv FLOPs
+    analytically; XLA's own cost analysis of the pure-XLA eval forward
+    must bracket it from above (it additionally counts elementwise/norm
+    work) but by no more than ~50%."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+    from beat_this_tpu.model import (
+        BeatThisConfig,
+        apply_beat_this,
+        init_beat_this,
+    )
+
+    monkeypatch.setenv("BEAT_THIS_NO_FLASH", "1")
+    from beat_this_tpu.model import layers
+
+    layers._flash_enabled.cache_clear()
+    try:
+        config = BeatThisConfig(transformer_dim=128, n_layers=2)
+        params, state = init_beat_this(0, config)
+        t = 512
+        x = jnp.zeros((1, t, 128), jnp.float32)
+        lowered = jax.jit(
+            lambda p, s, x: apply_beat_this(p, s, x, config)[0]["beat"]
+        ).lower(params, state, x)
+        analysis = lowered.compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        if not analysis or "flops" not in analysis:
+            pytest.skip("backend provides no cost analysis")
+        xla = float(analysis["flops"])
+        ours = float(bench.model_flops(config, t))
+        assert ours <= xla <= 1.5 * ours, (ours, xla)
+    finally:
+        layers._flash_enabled.cache_clear()

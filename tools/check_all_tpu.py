@@ -9,7 +9,10 @@ contract (ops/flash_attention.py `_train_block_cap`, ops/fused_freq.py
 green CI. This tool runs on the real TPU and records an artifact
 (TPUCHECK_r*.json) per round:
 
-  1. eval-kernel logit parity vs pure XLA (full-size model)
+  1. eval-kernel logit parity vs pure XLA (full-size model), plus the same
+     comparison at the postprocessed-BEAT level (the unit of the 0.001-F
+     north star): both paths' logits through the full minimal
+     postprocessing, F-measure between the two beat sets >= 0.999
   2. train-mode gradient parity vs pure XLA at dropout 0
   3. train-mode gradients finite at default dropout rates
   4. in-kernel dropout statistics (drop fraction and 1/keep scaling)
@@ -64,6 +67,83 @@ def check_eval_logit_parity():
     rel = float(np.abs(a - b).max() / np.abs(b).max())
     assert rel < 3e-2, f"eval logit deviation {rel:.3e}"
     return {"rel_dev": rel}
+
+
+def check_beat_level_kernel_parity():
+    """Kernel-vs-XLA parity measured in the unit the north star is
+    denominated in: postprocessed beat TIMES. The logit-level 3e-2 bound
+    (check_eval_logit_parity) cannot say whether bf16 kernel deviations
+    flip peaks near the 0-logit threshold, so this runs full-size-model
+    logits through the entire minimal postprocessing on both paths and
+    scores the kernel path's beats against the XLA path's with the same
+    F-measure the evaluation protocol uses (BASELINE.md's 0.001 target).
+    The model is the _flagship_trained() one and the inputs are drawn from
+    its click-corpus distribution, so the logits have the peaky,
+    well-separated structure of a real trained checkpoint — untrained
+    random weights put every logit near the 0 threshold, where ANY bf16
+    path (kernel or XLA) flips peaks and the comparison measures noise,
+    not the kernels. After only 30 optimizer steps the peak logits are
+    still below a converged model's 0 threshold (measured: 0 peaks at
+    threshold 0), so BOTH paths are shifted by one shared XLA-derived
+    constant placing the decision boundary in the fixture's own
+    peak/background gap — kernel-path deviations flip peaks there exactly
+    as they would at a converged checkpoint's natural threshold."""
+    import jax
+    import jax.numpy as jnp
+
+    from beat_this_tpu.metrics import f_measure
+    from beat_this_tpu.model import apply_beat_this
+    from beat_this_tpu.model import layers
+    from beat_this_tpu.postprocessing import Postprocessor
+
+    config, params, state, _ = _flagship_trained()
+    rng = np.random.RandomState(3)
+    spect = rng.randn(2, 1500, 128).astype(np.float32)
+    for i, phase in enumerate((7, 13)):
+        spect[i, np.arange(phase, 1500, 25), :] += 6.0
+    x = jnp.asarray(spect)
+
+    def logits(use_kernels):
+        layers._flash_enabled.cache_clear()
+        os.environ.pop("BEAT_THIS_NO_FLASH", None)
+        if not use_kernels:
+            os.environ["BEAT_THIS_NO_FLASH"] = "1"
+        out, _ = jax.jit(
+            lambda p, s, x: apply_beat_this(p, s, x, config,
+                                            compute_dtype=jnp.bfloat16)
+        )(params, state, x)
+        res = jax.device_get((out["beat"], out["downbeat"]))
+        layers._flash_enabled.cache_clear()
+        os.environ.pop("BEAT_THIS_NO_FLASH", None)
+        return np.asarray(res[0]), np.asarray(res[1])
+
+    beat_k, down_k = logits(True)
+    beat_x, down_x = logits(False)
+
+    def _shift(ref, q_hi):
+        # midpoint between the peak mass (clicks every 25 frames: beats 4%
+        # of frames, downbeats 1%) and the background median, computed from
+        # the XLA path ONLY so the kernel path cannot influence the shared
+        # decision boundary
+        return -0.5 * float(np.quantile(ref, q_hi) + np.quantile(ref, 0.5))
+
+    sb = _shift(beat_x, 0.99)
+    sd = _shift(down_x, 0.995)
+    post = Postprocessor("minimal", fps=50)
+    out = {"shift_beat": sb, "shift_downbeat": sd}
+    worst = 1.0
+    for i in range(beat_k.shape[0]):
+        bk, dk = post(beat_k[i] + sb, down_k[i] + sd)
+        bx, dx = post(beat_x[i] + sb, down_x[i] + sd)
+        assert len(bx) >= 10, f"degenerate fixture: {len(bx)} XLA peaks"
+        f_beat = f_measure(np.asarray(bx), np.asarray(bk))
+        f_down = f_measure(np.asarray(dx), np.asarray(dk)) if len(dx) else 1.0
+        out[f"piece{i}_f_beat"] = f_beat
+        out[f"piece{i}_n_beats"] = len(bx)
+        worst = min(worst, f_beat, f_down)
+    assert worst >= 0.999, f"beat-level kernel agreement {worst:.4f} < 0.999"
+    out["worst_f"] = worst
+    return out
 
 
 def _train_grads(config, params, state, x, key, use_kernels):
@@ -353,6 +433,89 @@ def check_fused_time_parity():
     return worst
 
 
+_FLAGSHIP = {}
+
+
+def _flagship_trained():
+    """30 REAL optimizer steps of the flagship geometry (512-dim / 6-layer
+    / 16-head, the bench batch: 8 microbatches x 8 crops x 1500 frames,
+    bf16, real shift-tolerant loss) on the TPU with every Pallas training
+    VJP active. The batch is a fixed click-structured spectrogram corpus
+    (bursts every 25 frames = 120 bpm, downbeat every 4th) and the dropout
+    key is held fixed, so the per-step loss (computed BEFORE each update)
+    decreases deterministically. Mirrors bench.bench_train_step's
+    TrainConfig and shapes exactly so the executable comes warm from the
+    persistent XLA cache. Cached across checks: the trained weights also
+    serve as the realistic fixture for the beat-level parity gate.
+    Returns (config, params, bn_state, curve)."""
+    if _FLAGSHIP:
+        return _FLAGSHIP["value"]
+    import jax
+    import jax.numpy as jnp
+
+    from beat_this_tpu.model import BeatThisConfig, init_beat_this
+    from beat_this_tpu.train.task import (
+        TrainConfig,
+        dropout_key,
+        init_train_state,
+        make_train_step,
+    )
+
+    config = BeatThisConfig()  # full size
+    tc = TrainConfig(max_steps=100, accum_steps=8, compute_dtype="bfloat16")
+    params, bn_state = init_beat_this(0, config)
+    ts = init_train_state(params, bn_state, tc)
+    micro, t = 8, 1500
+    rng = np.random.RandomState(5)
+    spect = rng.randn(tc.accum_steps, micro, t, 128).astype(np.float32)
+    truth_beat = np.zeros((tc.accum_steps, micro, t), np.float32)
+    truth_down = np.zeros((tc.accum_steps, micro, t), np.float32)
+    phase = rng.randint(0, 25, size=(tc.accum_steps, micro))
+    for a in range(tc.accum_steps):
+        for m in range(micro):
+            beats = np.arange(phase[a, m], t, 25)
+            spect[a, m, beats, :] += 6.0
+            truth_beat[a, m, beats] = 1.0
+            truth_down[a, m, beats[::4]] = 1.0
+    batch = {
+        "spect": jnp.asarray(spect),
+        "truth_beat": jnp.asarray(truth_beat),
+        "truth_downbeat": jnp.asarray(truth_down),
+        "padding_mask": jnp.ones((tc.accum_steps, micro, t), jnp.float32),
+        "downbeat_mask": jnp.ones((tc.accum_steps, micro), jnp.float32),
+    }
+    step = jax.jit(make_train_step(config, tc))
+    key = dropout_key(0)
+    curve = []
+    for _ in range(30):
+        ts, parts = step(ts, batch, key)
+        curve.append(float(jax.device_get(parts["total"])))
+    _FLAGSHIP["value"] = (
+        config,
+        jax.device_get(ts.params),
+        jax.device_get(ts.bn_state),
+        curve,
+    )
+    return _FLAGSHIP["value"]
+
+
+def check_flagship_train_steps():
+    """Loss descent of the 30 flagship-geometry optimizer steps — the
+    16-head attention backward only ever ran in isolated gradchecks before
+    round 4. Asserts every step finite and loss_last < loss_first, and
+    records the whole curve. Reference behavior: train.py:118-132
+    convergence."""
+    _, _, _, curve = _flagship_trained()
+    assert all(np.isfinite(curve)), f"non-finite loss in {curve}"
+    assert curve[-1] < curve[0], f"loss did not decrease: {curve}"
+    return {
+        "steps": len(curve),
+        "loss_first": curve[0],
+        "loss_last": curve[-1],
+        "curve": [round(v, 5) for v in curve],
+    }
+
+
 def check_fused_time_dropout_gradcheck():
     """Directional gradcheck of the fused time-attention TRAINING kernel
     (ops/fused_time.fused_time_attention_train) with in-kernel dropout
@@ -397,6 +560,8 @@ CHECKS = [
     ("fused_time_parity", check_fused_time_parity),
     ("fused_time_dropout_gradcheck", check_fused_time_dropout_gradcheck),
     ("eval_logit_parity", check_eval_logit_parity),
+    ("flagship_train_steps", check_flagship_train_steps),
+    ("beat_level_kernel_parity", check_beat_level_kernel_parity),
     ("train_grad_parity_no_dropout", check_train_grad_parity_no_dropout),
     ("train_dropout_finite", check_train_dropout_finite),
     ("dropout_statistics", check_dropout_statistics),
