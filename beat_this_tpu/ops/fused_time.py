@@ -25,7 +25,15 @@ fetches/writes them exactly once per item.
 Whole-sequence (1536 x 1536) float32 score tiles replace the flash online-
 softmax recurrence: at these sizes K/V fit VMEM outright, so the two-pass
 max/sum is unnecessary, and the raised scoped-VMEM ceiling (the same story
-as ops/flash_attention._train_vmem_params) covers the transients.
+as ops/flash_attention._train_vmem_params) covers the transients. The
+softmax subtracts a per-row NORM BOUND (|q| * max|k| >= every score;
+rotation preserves norms) instead of an exact row max — the normalizer-
+free softmax is identically invariant to any constant >= the max, so
+outputs and gradients are unchanged while the (n, n)-sized max reduce
+becomes two (n, 32)-sized ones. Key padding is an additive -1e5 mask row
+(one broadcast add) rather than an iota/compare/select pass, and RoPE is
+applied to a head group's whole (n, ghd) q/k panels in one block-diagonal
+rswap dot with the softmax scale pre-folded into the q tables.
 
 Training runs the attention residual branch through `fused_time_attention_
 train` below: a custom-VJP twin of the same fusion with in-kernel seeded
@@ -81,13 +89,14 @@ def fused_time_available() -> bool:
 
 
 def _kernel(x_ref, agamma_ref, wq_ref, wk_ref, wv_ref, wg_ref, gb_ref,
-            wo_ref, fgamma_ref, w1_ref, b1_ref, w2_ref, b2_ref, cos_ref,
-            sin_ref, o_ref, acc_ref, *, n, gh, groups):
+            wo_ref, fgamma_ref, w1_ref, b1_ref, w2_ref, b2_ref, cosq_ref,
+            sinq_ref, cosk_ref, sink_ref, mask_ref, o_ref, acc_ref,
+            *, n, gh, groups):
     grp = pl.program_id(1)
+    _, n_pad, c = x_ref.shape
     x = x_ref[0]  # (n_pad, C)
-    n_pad, c = x.shape
     x32 = x.astype(jnp.float32)
-    gn = _rms(x32, agamma_ref[...])  # (n_pad, C) float32
+    gn = _rms(x32, agamma_ref[...])  # (ipb * n_pad, C) float32
     gnb = gn.astype(wq_ref.dtype)
 
     def _proj(w_ref):
@@ -95,48 +104,56 @@ def _kernel(x_ref, agamma_ref, wq_ref, wk_ref, wv_ref, wg_ref, gb_ref,
             gnb, w_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (n_pad, gh * 32) float32
+        )  # (ipb * n_pad, gh * 32) float32
 
     q_all = _proj(wq_ref)
     k_all = _proj(wk_ref)
     v_all = _proj(wv_ref).astype(x.dtype)
-    cos = cos_ref[0]
-    sin = sin_ref[0]
-    scale = _HEAD_DIM**-0.5
+    # RoPE over the whole head group at once: pair rotation is head-local,
+    # so the (ghd, ghd) rswap matmul is exactly the block-diagonal of the
+    # per-head (32, 32) ones — one full-width MXU dot instead of gh skinny
+    # ones. The q tables arrive pre-scaled by head_dim**-0.5 * log2(e)
+    # (scores come out in base-2 units), saving a separate scaling pass;
+    # both tables are row-tiled across the ipb stacked items.
+    q_r = rope_rotate(q_all, cosq_ref[0], sinq_ref[0]).astype(x.dtype)
+    k_r = rope_rotate(k_all, cosk_ref[0], sink_ref[0]).astype(x.dtype)
 
+    # Per-head softmax max bounds from row norms (rotation preserves them;
+    # the q norms carry the folded scale): m_i = |q_i| * max_j |k_j| >=
+    # s_ij. Replaces the exact (n_pad, n_pad) row max-reduce with two
+    # (n_pad, 32) reductions; exp2's float32 range makes the slack (and the
+    # ~2^-8 bfloat16 rounding of q/k after the norms are taken) harmless.
+    q_sq = q_all * q_all
+    k_sq = k_all * k_all
+    sq = (_HEAD_DIM**-0.5 * LOG2E) ** 2
     head_outs = []
     for j in range(gh):
         hsl = slice(j * _HEAD_DIM, (j + 1) * _HEAD_DIM)
-        # scale * log2(e) folded into q: scores come out in base-2 units
-        q = (rope_rotate(q_all[:, hsl], cos, sin) * (scale * LOG2E)).astype(
-            x.dtype
-        )
-        k = rope_rotate(k_all[:, hsl], cos, sin).astype(x.dtype)
+        m = jnp.sqrt(
+            jnp.sum(q_sq[:, hsl], axis=1, keepdims=True)
+            * (sq * jnp.max(jnp.sum(k_sq[:, hsl], axis=1)))
+        )  # (n_pad, 1)
         s = jax.lax.dot_general(
-            q, k,
+            q_r[:, hsl], k_r[:, hsl],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (n_pad, n_pad)
-        if n_pad > n:  # mask key padding (cols beyond the real length)
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < n, s, -jnp.inf)
-        m = jnp.max(s, axis=1, keepdims=True)
+        if n_pad > n:  # additive key-padding mask (cols beyond the length)
+            s = s + mask_ref[...]
         p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
-        o_h = (
-            jax.lax.dot_general(
-                p.astype(x.dtype), v_all[:, hsl],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            / l
-        )  # (n_pad, 32) float32
-        # per-head sigmoid gate from the normed input
+        o_h = jax.lax.dot_general(
+            p.astype(x.dtype), v_all[:, hsl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n_pad, 32) float32, softmax normalizer still unapplied
+        # per-head sigmoid gate from the normed input; the 1/l softmax
+        # normalizer rides along in the same broadcast multiply
         gate = jax.nn.sigmoid(
             jnp.sum(gn * wg_ref[j, :][None, :], axis=1, keepdims=True)
             + gb_ref[0, j]
         )
-        head_outs.append((o_h * gate).astype(x.dtype))
+        head_outs.append((o_h * (gate / l)).astype(x.dtype))
 
     group_out = (
         head_outs[0] if gh == 1 else jnp.concatenate(head_outs, axis=1)
@@ -198,45 +215,61 @@ def _group_heads(heads: int) -> int:
     return min(heads, _MAX_HEADS_PER_GROUP)
 
 
-def _attn_fwd_head(q_all, k_all, v_all, j, h, cos, sin, seed_ref, rate, n,
-                   dtype):
-    """Recompute one head's attention from the group's projected q/k/v
-    columns. `j` indexes the head within the group (column slice); `h` is
-    the model-global head index — the dropout salt, so the same bits
-    regenerate in the backward regardless of grouping. The softmax
-    normalizer is NEVER applied to the (n_pad, n_pad) probabilities — it
-    rides as a per-row scaling on the (n_pad, 32) output (and, in the
-    backward, on the incoming cotangent), saving a full score-sized buffer
-    and divide per head. Returns (o_h float32 normalized, a_un
-    unnormalized-dropped probs in `dtype`, p_un float32
-    unnormalized-undropped, l row sums, q_r, k_r, v)."""
+def _attn_fwd_head(q_r_all, k_r_all, v_all, j, h, seed_ref, rate, mask,
+                   dtype, dropmask=None):
+    """Recompute one head's attention from the group's ROTATED q/k columns
+    (RoPE is applied group-wide by the caller: pair rotation is head-local,
+    so one (ghd, ghd) rswap dot covers every head at full MXU width). `j`
+    indexes the head within the group (column slice); `h` is the
+    model-global head index — the dropout salt, so the same bits regenerate
+    in the backward regardless of grouping. The softmax max is a per-row
+    NORM BOUND (|q||k| >= q.k, exact for the float32 values the norms are
+    taken from; the ~2^-9 bfloat16 rounding slack is harmless against
+    exp2's float32 range) instead of an exact (n_pad, n_pad) row reduce —
+    any per-row constant >= the true max leaves o_h and every gradient
+    identical, since the normalizer-free softmax is invariant to it. Key
+    padding arrives as the caller's additive `mask` row (None when the
+    padded and true lengths agree). The softmax normalizer is NEVER applied
+    to the (n_pad, n_pad) probabilities — it rides as a per-row scaling on
+    the (n_pad, 32) output (and, in the backward, on the incoming
+    cotangent), saving a full score-sized buffer and divide per head.
+    Returns (o_h float32 normalized, a_un unnormalized-dropped probs in
+    `dtype`, p_un float32 unnormalized-undropped, l row sums, q_r, k_r,
+    v)."""
     from beat_this_tpu.ops.fused_freq import _dropmask
 
     d = _HEAD_DIM
     scale = d**-0.5
     hsl = slice(j * d, (j + 1) * d)
-    q_r = rope_rotate(q_all[:, hsl], cos, sin)
-    k_r = rope_rotate(k_all[:, hsl], cos, sin).astype(dtype)
+    q_r = q_r_all[:, hsl]  # float32, unscaled
+    k_r32 = k_r_all[:, hsl]
+    k_r = k_r32.astype(dtype)
     v = v_all[:, hsl]
     q_s = (q_r * (scale * LOG2E)).astype(dtype)
+    m = jnp.sqrt(
+        jnp.sum(q_r * q_r, axis=1, keepdims=True)
+        * ((scale * LOG2E) ** 2
+           * jnp.max(jnp.sum(k_r32 * k_r32, axis=1)))
+    )  # (n_pad, 1)
     s = jax.lax.dot_general(
         q_s, k_r,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    n_pad = s.shape[0]
-    if n_pad > n:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n, s, -jnp.inf)
-    m = jnp.max(s, axis=1, keepdims=True)
+    if mask is not None:
+        s = s + mask
     p_un = jnp.exp2(s - m)
     l = jnp.sum(p_un, axis=1, keepdims=True)
     if rate > 0.0:
         # dropout applies to the NORMALIZED probabilities in torch; the
-        # multiplicative mask commutes with the per-row 1/l scaling
-        a_un = p_un * _dropmask(
-            seed_ref, pl.program_id(0), _SITE_ATTN, h, p_un.shape, rate
-        )
+        # multiplicative mask commutes with the per-row 1/l scaling. The
+        # backward passes the mask in (`dropmask`) so the score-sized PRNG
+        # generation happens once per head there instead of twice.
+        if dropmask is None:
+            dropmask = _dropmask(
+                seed_ref, pl.program_id(0), _SITE_ATTN, h, p_un.shape, rate
+            )
+        a_un = p_un * dropmask
     else:
         a_un = p_un
     a_un = a_un.astype(dtype)
@@ -269,12 +302,13 @@ def _proj_group(gnb, w_ref):
 
 
 def _attn_train_kernel(seed_ref, x_ref, agamma_ref, wq_ref, wk_ref, wv_ref,
-                       wg_ref, gb_ref, wo_ref, cos_ref, sin_ref, o_ref,
-                       acc_ref, *, n, gh, groups, rate):
+                       wg_ref, gb_ref, wo_ref, cos_ref, sin_ref, mask_ref,
+                       o_ref, acc_ref, *, n, gh, groups, rate):
     from beat_this_tpu.ops.fused_freq import _dropmask, _rms_parts
 
     grp = pl.program_id(1)
     x32 = x_ref[0].astype(jnp.float32)
+    n_pad = x32.shape[0]
     dtype = x_ref.dtype
     gn, _, _ = _rms_parts(x32, agamma_ref[...])
     gnb = gn.astype(wq_ref.dtype)
@@ -283,11 +317,14 @@ def _attn_train_kernel(seed_ref, x_ref, agamma_ref, wq_ref, wk_ref, wv_ref,
     v_all = _proj_group(gnb, wv_ref).astype(dtype)
     cos = cos_ref[0]
     sin = sin_ref[0]
+    q_r_all = rope_rotate(q_all, cos, sin)
+    k_r_all = rope_rotate(k_all, cos, sin)
+    mask = mask_ref[...] if n_pad > n else None
     outs = []
     for j in range(gh):
         o_h = _attn_fwd_head(
-            q_all, k_all, v_all, j, grp * gh + j, cos, sin, seed_ref, rate,
-            n, dtype,
+            q_r_all, k_r_all, v_all, j, grp * gh + j, seed_ref, rate,
+            mask, dtype,
         )[0]
         gate = _gate_of(gn, wg_ref, gb_ref, j)
         outs.append((o_h * gate).astype(dtype))
@@ -320,9 +357,9 @@ def _attn_train_kernel(seed_ref, x_ref, agamma_ref, wq_ref, wk_ref, wv_ref,
 
 def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wq_ref, wk_ref,
                            wv_ref, wg_ref, gb_ref, wo_ref, cos_ref, sin_ref,
-                           do_ref, dx_ref, dgamma_ref, dwq_ref, dwk_ref,
-                           dwv_ref, dwgt_ref, dgb_ref, dwo_ref, dgn_acc,
-                           *, n, gh, groups, rate):
+                           mask_ref, do_ref, dx_ref, dgamma_ref, dwq_ref,
+                           dwk_ref, dwv_ref, dwgt_ref, dgb_ref, dwo_ref,
+                           dgn_acc, *, n, gh, groups, rate):
     from beat_this_tpu.ops.fused_freq import _dropmask, _rms_bwd, _rms_parts
     from beat_this_tpu.ops.flash_attention import rope_rotate_inv
 
@@ -335,7 +372,7 @@ def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wq_ref, wk_ref,
             ref[...] = jnp.zeros_like(ref)
 
     x32 = x_ref[0].astype(jnp.float32)
-    c = x32.shape[-1]
+    n_pad, c = x32.shape
     d = _HEAD_DIM
     scale = d**-0.5
     dtype = x_ref.dtype
@@ -346,6 +383,9 @@ def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wq_ref, wk_ref,
     v_all = _proj_group(gnb, wv_ref).astype(dtype)
     cos = cos_ref[0]
     sin = sin_ref[0]
+    q_r_all = rope_rotate(q_all, cos, sin)
+    k_r_all = rope_rotate(k_all, cos, sin)
+    mask = mask_ref[...] if n_pad > n else None
 
     do32 = do_ref[0].astype(jnp.float32)
     d_branch = do32
@@ -364,9 +404,17 @@ def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wq_ref, wk_ref,
     go_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
     dwgt_rows, dgb_rows = [], []
     for j in range(gh):
+        # the score-sized dropout mask is generated ONCE per head and
+        # shared between the forward recompute (a_un) and the dp pullback
+        dm = None
+        if rate > 0.0:
+            dm = _dropmask(
+                seed_ref, pid, _SITE_ATTN, grp * gh + j,
+                (q_r_all.shape[0], q_r_all.shape[0]), rate,
+            )
         o_h, a_un, p_un, l, q_r, k_r, v = _attn_fwd_head(
-            q_all, k_all, v_all, j, grp * gh + j, cos, sin, seed_ref, rate,
-            n, dtype,
+            q_r_all, k_r_all, v_all, j, grp * gh + j, seed_ref, rate,
+            mask, dtype, dropmask=dm,
         )
         gate = _gate_of(gn, wg_ref, gb_ref, j)
         go_parts.append((o_h * gate).astype(dtype))
@@ -397,31 +445,23 @@ def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wq_ref, wk_ref,
             preferred_element_type=jnp.float32,
         )
         if rate > 0.0:
-            dp = dp * _dropmask(
-                seed_ref, pid, _SITE_ATTN, grp * gh + j, dp.shape, rate
-            )
+            dp = dp * dm  # same per-head mask the recompute used
+        # raw per-head pullbacks; the inverse rotation is applied
+        # group-wide after the loop (one (ghd, ghd) rswap dot)
         ds = (p_un * (dp - delta)).astype(dtype)
         dq_parts.append(
-            rope_rotate_inv(
-                jax.lax.dot_general(
-                    ds, k_r,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ),
-                cos, sin,
+            jax.lax.dot_general(
+                ds, k_r,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            * scale
         )
         dk_parts.append(
-            rope_rotate_inv(
-                jax.lax.dot_general(
-                    ds, q_r.astype(dtype),
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ),
-                cos, sin,
+            jax.lax.dot_general(
+                ds, q_r.astype(dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            * scale
         )
         dv_parts.append(
             jax.lax.dot_general(
@@ -449,14 +489,19 @@ def _attn_train_bwd_kernel(seed_ref, x_ref, agamma_ref, wq_ref, wk_ref,
         preferred_element_type=jnp.float32,
     )
 
-    def _cat(parts):
-        p = parts[0] if gh == 1 else jnp.concatenate(parts, axis=1)
-        return p.astype(dtype)  # (n_pad, gh * 32)
+    def _catf(parts):
+        return parts[0] if gh == 1 else jnp.concatenate(parts, axis=1)
+
+    def _cat_rope_inv(parts):
+        # group-wide inverse rotation + folded score scale, one rswap dot
+        return (
+            rope_rotate_inv(_catf(parts), cos, sin) * scale
+        ).astype(dtype)  # (n_pad, gh * 32)
 
     for ref, w_ref, cat in (
-        (dwq_ref, wq_ref, _cat(dq_parts)),
-        (dwk_ref, wk_ref, _cat(dk_parts)),
-        (dwv_ref, wv_ref, _cat(dv_parts)),
+        (dwq_ref, wq_ref, _cat_rope_inv(dq_parts)),
+        (dwk_ref, wk_ref, _cat_rope_inv(dk_parts)),
+        (dwv_ref, wv_ref, _catf(dv_parts).astype(dtype)),
     ):
         ref[pl.ds(grp * c, c), :] += jax.lax.dot_general(
             gnb, cat,
@@ -510,10 +555,15 @@ def _attn_train_operands(x, attn_params, rope_cos, rope_sin, heads, gh,
     gb = attn_params["gates_b"].astype(jnp.float32).reshape(groups, 1, gh)
     gb = jnp.pad(gb, ((0, 0), (0, 7), (0, 128 - gh))).reshape(groups * 8, 128)
     xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
-    cosf = jnp.repeat(rope_cos[:n].astype(jnp.float32), 2, axis=-1)
-    sinf = jnp.repeat(rope_sin[:n].astype(jnp.float32), 2, axis=-1)
+    # tables tiled across the head group: the kernels rotate all gh heads
+    # in one (ghd, ghd) rswap dot (pair rotation is head-local)
+    cosf = jnp.tile(jnp.repeat(rope_cos[:n].astype(jnp.float32), 2, axis=-1),
+                    (1, gh))
+    sinf = jnp.tile(jnp.repeat(rope_sin[:n].astype(jnp.float32), 2, axis=-1),
+                    (1, gh))
     cosp = jnp.pad(cosf, ((0, n_pad - n), (0, 0)), constant_values=1.0)[None]
     sinp = jnp.pad(sinf, ((0, n_pad - n), (0, 0)), constant_values=0.0)[None]
+    maskp = jnp.zeros((1, n_pad), jnp.float32).at[:, n:].set(-1e5)
     ops = (
         seed,
         xp,
@@ -526,6 +576,7 @@ def _attn_train_operands(x, attn_params, rope_cos, rope_sin, heads, gh,
         attn_params["out_w"].astype(wdtype),
         cosp,
         sinp,
+        maskp,
     )
     return ops, n_pad
 
@@ -544,8 +595,9 @@ def _attn_train_specs(n_pad, c, gh, kwargs, interpret):
         pl.BlockSpec((8, c), lambda i, g: (g, 0), **kwargs),
         pl.BlockSpec((8, 128), lambda i, g: (g, 0), **kwargs),
         pl.BlockSpec((ghd, c), lambda i, g: (g, 0), **kwargs),
-        pl.BlockSpec((1, n_pad, _HEAD_DIM), lambda i, g: (0, 0, 0), **kwargs),
-        pl.BlockSpec((1, n_pad, _HEAD_DIM), lambda i, g: (0, 0, 0), **kwargs),
+        pl.BlockSpec((1, n_pad, ghd), lambda i, g: (0, 0, 0), **kwargs),
+        pl.BlockSpec((1, n_pad, ghd), lambda i, g: (0, 0, 0), **kwargs),
+        pl.BlockSpec((1, n_pad), lambda i, g: (0, 0), **kwargs),
     ]
 
 
@@ -778,11 +830,23 @@ def fused_time_roformer(
 
     xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
     # rope_tables are half-width (n, head_dim // 2): expand to full width
-    # (interleaved pairs share an angle), identity rotation on padded rows
-    cosf = jnp.repeat(rope_cos[:n].astype(jnp.float32), 2, axis=-1)
-    sinf = jnp.repeat(rope_sin[:n].astype(jnp.float32), 2, axis=-1)
+    # (interleaved pairs share an angle), identity rotation on padded rows,
+    # tiled across the head group (the kernel rotates all gh heads in one
+    # dot); the q copies carry the folded softmax scale
+    ghd = gh * _HEAD_DIM
+    cosf = jnp.tile(jnp.repeat(rope_cos[:n].astype(jnp.float32), 2, axis=-1),
+                    (1, gh))
+    sinf = jnp.tile(jnp.repeat(rope_sin[:n].astype(jnp.float32), 2, axis=-1),
+                    (1, gh))
     cosp = jnp.pad(cosf, ((0, n_pad - n), (0, 0)), constant_values=1.0)[None]
     sinp = jnp.pad(sinf, ((0, n_pad - n), (0, 0)), constant_values=0.0)[None]
+    qscale = _HEAD_DIM**-0.5 * LOG2E
+    cosq = cosp * qscale
+    sinq = sinp * qscale
+    # additive key-padding mask row: -1e5 puts exp2(s - m) at exactly 0 for
+    # padded columns (s - m stays far above float32's 2**-149 underflow for
+    # any real score, far below it for masked ones)
+    maskrow = jnp.zeros((1, n_pad), jnp.float32).at[:, n:].set(-1e5)
 
     from beat_this_tpu.ops.flash_attention import vmem_params
 
@@ -811,8 +875,11 @@ def fused_time_roformer(
             pl.BlockSpec((1, m), lambda i, g: (0, 0), **kwargs),
             pl.BlockSpec((m, c), lambda i, g: (0, 0), **kwargs),
             pl.BlockSpec((1, c), lambda i, g: (0, 0), **kwargs),
-            pl.BlockSpec((1, n_pad, _HEAD_DIM), lambda i, g: (0, 0, 0), **kwargs),
-            pl.BlockSpec((1, n_pad, _HEAD_DIM), lambda i, g: (0, 0, 0), **kwargs),
+            pl.BlockSpec((1, n_pad, ghd), lambda i, g: (0, 0, 0), **kwargs),
+            pl.BlockSpec((1, n_pad, ghd), lambda i, g: (0, 0, 0), **kwargs),
+            pl.BlockSpec((1, n_pad, ghd), lambda i, g: (0, 0, 0), **kwargs),
+            pl.BlockSpec((1, n_pad, ghd), lambda i, g: (0, 0, 0), **kwargs),
+            pl.BlockSpec((1, n_pad), lambda i, g: (0, 0), **kwargs),
         ],
         out_specs=pl.BlockSpec((1, n_pad, c), lambda i, g: (i, 0, 0), **kwargs),
         out_shape=jax.ShapeDtypeStruct((items, n_pad, c), x.dtype),
@@ -836,7 +903,10 @@ def fused_time_roformer(
         ff_params["b1"].astype(jnp.float32).reshape(1, m),
         ff_params["w2"].astype(wdtype),
         ff_params["b2"].astype(jnp.float32).reshape(1, c),
+        cosq,
+        sinq,
         cosp,
         sinp,
+        maskrow,
     )
     return out[:, :n, :]

@@ -50,6 +50,25 @@ def model_flops(config, t):
     return fl
 
 
+def model_attn_flops(config, t):
+    """The 4*n^2*d score+pv subset of model_flops. With head_dim 32 these
+    matmuls contract (or emit) only 32 of the MXU's 128 lanes, so they are
+    structurally capped near 25% of peak — see DESIGN.md §3. Splitting them
+    out lets the bench report utilization against the ADJUSTED roofline
+    (linear FLOPs at peak + attention FLOPs at peak/4), the honest ceiling
+    for this architecture."""
+    fl = 0
+    freq = 32
+    dim = config.stem_dim
+    for _ in range(3):
+        fl += t * 4 * freq * freq * dim  # freq partial
+        fl += freq * 4 * t * t * dim  # time partial
+        freq //= 2
+        dim *= 2
+    fl += config.n_layers * 4 * t * t * config.transformer_dim
+    return fl
+
+
 def bench_train_step(config):
     """Seconds per optimizer step (bs 8 x accum 8, 1500-frame crops, bf16) —
     the reference's training configuration (train.py:118-129). Returns None
@@ -197,6 +216,15 @@ def main():
     flops = model_flops(config, chunk) * iters * scan_len * batch
     peak = float(os.environ.get("BEAT_THIS_PEAK_TFLOPS", "197")) * 1e12
     record["mfu_pct"] = round(100.0 * flops / elapsed / peak, 2)
+    # utilization against the architecture's structural ceiling: head_dim 32
+    # fills a quarter of the MXU's 128-deep contraction, so the n^2*d
+    # attention FLOPs cannot exceed ~25% of peak no matter the kernel
+    attn = model_attn_flops(config, chunk) * iters * scan_len * batch
+    structural_s = (flops - attn + 4 * attn) / peak
+    record["adjusted_roofline_x"] = round(audio_seconds / structural_s, 1)
+    record["pct_of_adjusted_roofline"] = round(
+        100.0 * structural_s / elapsed, 2
+    )
     # training-step capture (reference config: bs 8 x accum 8 = effective 64
     # crops of 1500 frames per optimizer step); optional so a failure cannot
     # take down the headline metric, skippable for a quick inference-only run

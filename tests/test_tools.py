@@ -86,5 +86,8 @@ def test_bench_model_flops_matches_xla_cost_analysis(monkeypatch):
         xla = float(analysis["flops"])
         ours = float(bench.model_flops(config, t))
         assert ours <= xla <= 1.5 * ours, (ours, xla)
+        # the attention subset used for the adjusted-roofline report must be
+        # a strict part of the total
+        assert 0 < float(bench.model_attn_flops(config, t)) < ours
     finally:
         layers._flash_enabled.cache_clear()

@@ -52,8 +52,14 @@ def main():
     rope = rope_tables(args.n, 32)
 
     def timed(fn, xs):
+        # reduce the body output to one scalar per scan step: device_get
+        # pulls the output through the axon relay, and a full
+        # (scan, items, n, c) result (with TPU lane padding inflating
+        # narrow-C layouts 4x) turns the measurement into a network-transfer
+        # benchmark; a sum (unlike a slice) keeps XLA from dead-code-
+        # eliminating part of the composable variant's computation
         jitted = jax.jit(lambda xs: jax.lax.scan(
-            lambda _, x: (0, fn(x)), 0, xs)[1])
+            lambda _, x: (0, jnp.sum(fn(x), dtype=jnp.float32)), 0, xs)[1])
         out = jitted(xs)
         jax.device_get(out)  # compile + warm (block_until_ready is a no-op
         # through the relay)
