@@ -25,11 +25,12 @@ def main():
     from beat_this_tpu.model import BeatThisConfig, apply_beat_this, init_beat_this
     from beat_this_tpu.model.beat_this import _merged_bn
     from beat_this_tpu.model.layers import (
-        attention_block,
         batch_norm_apply,
         conv2d_tf,
-        feed_forward,
+        ff_residual,
+        freq_roformer,
         rms_norm,
+        time_attention_train,
     )
     from beat_this_tpu.ops.rotary import rope_tables
 
@@ -71,19 +72,20 @@ def main():
             rope_freq = rope_tables(n_freq, config.head_dim)
             hf = h.reshape(b * t, n_freq, dim)
             if with_freq:
-                hf = hf + attention_block(
-                    p["attnF"], hf, rope_freq, heads,
+                # the routed production kernel (fused_freq custom VJP on
+                # TPU), so the ablation measures the REAL training path
+                hf = freq_roformer(
+                    p["attnF"], p["ffF"], hf, rope_freq, heads,
                     dropout_rate=0.1, rng=key,
                 )
-                hf = hf + feed_forward(p["ffF"], hf, dropout_rate=0.1, rng=key)
             ht = hf.reshape(b, t, n_freq, dim).transpose(0, 2, 1, 3)
             ht = ht.reshape(b * n_freq, t, dim)
             if with_time:
-                ht = ht + attention_block(
+                ht = time_attention_train(
                     p["attnT"], ht, rope_time, heads,
                     dropout_rate=0.1, rng=key,
                 )
-                ht = ht + feed_forward(p["ffT"], ht, dropout_rate=0.1, rng=key)
+                ht = ff_residual(p["ffT"], ht, dropout_rate=0.1, rng=key)
             h = ht.reshape(b, n_freq, t, dim).transpose(0, 2, 1, 3)
             h = conv2d_tf(block["conv"]["w"], h, stride_freq=2, pad_time=1)
             h, _ = batch_norm_apply(
@@ -106,10 +108,10 @@ def main():
         rope_time = rope_tables(t, config.head_dim)
         heads = config.transformer_dim // config.head_dim
         for layer in params["transformer"]["layers"]:
-            h = h + attention_block(
+            h = time_attention_train(
                 layer["attn"], h, rope_time, heads, dropout_rate=0.2, rng=key
             )
-            h = h + feed_forward(layer["ff"], h, dropout_rate=0.2, rng=key)
+            h = ff_residual(layer["ff"], h, dropout_rate=0.2, rng=key)
         return rms_norm(h, params["transformer"]["norm_gamma"])
 
     bodies = {
