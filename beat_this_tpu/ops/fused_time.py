@@ -25,15 +25,14 @@ fetches/writes them exactly once per item.
 Whole-sequence (1536 x 1536) float32 score tiles replace the flash online-
 softmax recurrence: at these sizes K/V fit VMEM outright, so the two-pass
 max/sum is unnecessary, and the raised scoped-VMEM ceiling (the same story
-as ops/flash_attention._train_vmem_params) covers the transients. The
-softmax subtracts a per-row NORM BOUND (|q| * max|k| >= every score;
-rotation preserves norms) instead of an exact row max — the normalizer-
-free softmax is identically invariant to any constant >= the max, so
-outputs and gradients are unchanged while the (n, n)-sized max reduce
-becomes two (n, 32)-sized ones. Key padding is an additive -1e5 mask row
-(one broadcast add) rather than an iota/compare/select pass, and RoPE is
-applied to a head group's whole (n, ghd) q/k panels in one block-diagonal
-rswap dot with the softmax scale pre-folded into the q tables.
+as ops/flash_attention._train_vmem_params) covers the transients. Key
+padding is an additive -1e5 mask row (one broadcast add) rather than an
+iota/compare/select pass, and RoPE is applied to a head group's whole
+(n, ghd) q/k panels in one block-diagonal rswap dot with the softmax scale
+pre-folded into the q tables. (A per-row norm BOUND in place of the exact
+softmax row max was tried and reverted: its slack exceeds exp2's float32
+underflow range at large weight scales and the all-zero rows divide to
+NaN — test_extreme_score_magnitudes.)
 
 Training runs the attention residual branch through `fused_time_attention_
 train` below: a custom-VJP twin of the same fusion with in-kernel seeded
@@ -118,21 +117,9 @@ def _kernel(x_ref, agamma_ref, wq_ref, wk_ref, wv_ref, wg_ref, gb_ref,
     q_r = rope_rotate(q_all, cosq_ref[0], sinq_ref[0]).astype(x.dtype)
     k_r = rope_rotate(k_all, cosk_ref[0], sink_ref[0]).astype(x.dtype)
 
-    # Per-head softmax max bounds from row norms (rotation preserves them;
-    # the q norms carry the folded scale): m_i = |q_i| * max_j |k_j| >=
-    # s_ij. Replaces the exact (n_pad, n_pad) row max-reduce with two
-    # (n_pad, 32) reductions; exp2's float32 range makes the slack (and the
-    # ~2^-8 bfloat16 rounding of q/k after the norms are taken) harmless.
-    q_sq = q_all * q_all
-    k_sq = k_all * k_all
-    sq = (_HEAD_DIM**-0.5 * LOG2E) ** 2
     head_outs = []
     for j in range(gh):
         hsl = slice(j * _HEAD_DIM, (j + 1) * _HEAD_DIM)
-        m = jnp.sqrt(
-            jnp.sum(q_sq[:, hsl], axis=1, keepdims=True)
-            * (sq * jnp.max(jnp.sum(k_sq[:, hsl], axis=1)))
-        )  # (n_pad, 1)
         s = jax.lax.dot_general(
             q_r[:, hsl], k_r[:, hsl],
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -140,6 +127,11 @@ def _kernel(x_ref, agamma_ref, wq_ref, wk_ref, wv_ref, wg_ref, gb_ref,
         )  # (n_pad, n_pad)
         if n_pad > n:  # additive key-padding mask (cols beyond the length)
             s = s + mask_ref[...]
+        # exact row max. A cheaper per-row norm BOUND |q| * max|k| was
+        # tried and reverted: with large weight scales its slack exceeds
+        # exp2's float32 underflow range, every probability flushes to
+        # zero and 0/0 = NaN (test_extreme_score_magnitudes).
+        m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
         o_h = jax.lax.dot_general(
@@ -222,14 +214,9 @@ def _attn_fwd_head(q_r_all, k_r_all, v_all, j, h, seed_ref, rate, mask,
     so one (ghd, ghd) rswap dot covers every head at full MXU width). `j`
     indexes the head within the group (column slice); `h` is the
     model-global head index — the dropout salt, so the same bits regenerate
-    in the backward regardless of grouping. The softmax max is a per-row
-    NORM BOUND (|q||k| >= q.k, exact for the float32 values the norms are
-    taken from; the ~2^-9 bfloat16 rounding slack is harmless against
-    exp2's float32 range) instead of an exact (n_pad, n_pad) row reduce —
-    any per-row constant >= the true max leaves o_h and every gradient
-    identical, since the normalizer-free softmax is invariant to it. Key
-    padding arrives as the caller's additive `mask` row (None when the
-    padded and true lengths agree). The softmax normalizer is NEVER applied
+    in the backward regardless of grouping. Key padding arrives as the
+    caller's additive `mask` row (None when the padded and true lengths
+    agree). The softmax normalizer is NEVER applied
     to the (n_pad, n_pad) probabilities — it rides as a per-row scaling on
     the (n_pad, 32) output (and, in the backward, on the incoming
     cotangent), saving a full score-sized buffer and divide per head.
@@ -246,11 +233,6 @@ def _attn_fwd_head(q_r_all, k_r_all, v_all, j, h, seed_ref, rate, mask,
     k_r = k_r32.astype(dtype)
     v = v_all[:, hsl]
     q_s = (q_r * (scale * LOG2E)).astype(dtype)
-    m = jnp.sqrt(
-        jnp.sum(q_r * q_r, axis=1, keepdims=True)
-        * ((scale * LOG2E) ** 2
-           * jnp.max(jnp.sum(k_r32 * k_r32, axis=1)))
-    )  # (n_pad, 1)
     s = jax.lax.dot_general(
         q_s, k_r,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -258,6 +240,10 @@ def _attn_fwd_head(q_r_all, k_r_all, v_all, j, h, seed_ref, rate, mask,
     )
     if mask is not None:
         s = s + mask
+    # exact row max (a norm-bound surrogate NaNs at large weight scales —
+    # see the eval kernel); any per-row constant >= the true max leaves
+    # o_h and all gradients identical, which the backward relies on
+    m = jnp.max(s, axis=1, keepdims=True)
     p_un = jnp.exp2(s - m)
     l = jnp.sum(p_un, axis=1, keepdims=True)
     if rate > 0.0:

@@ -83,6 +83,30 @@ def test_bfloat16(
     assert float(jnp.max(jnp.abs(got - want))) / scale < 0.03
 
 
+@pytest.mark.parametrize("wscale", [25.0, 1e-3])
+def test_extreme_score_magnitudes(wscale):
+    """The softmax max is a norm BOUND (|q| * max|k|), not the exact row
+    max. With huge qkv weights the bound's slack is largest (scores span
+    hundreds of base-2 units) and with tiny ones everything sits in the
+    denormal-adjacent range — both must stay finite and match the exact
+    softmax oracle."""
+    rng = np.random.RandomState(11)
+    heads, n, items = 2, 150, 2  # padded to 256: mask row active too
+    c = heads * 32
+    attn, ff = _params(rng, c, heads)
+    attn["qkv_w"] = attn["qkv_w"] * wscale
+    x = jnp.asarray(rng.randn(items, n, c), jnp.float32)
+    rope = rope_tables(n, 32)
+    want = _reference(attn, ff, x, rope, heads)
+    got = fused_time_roformer(x, attn, ff, rope[0], rope[1], heads,
+                              interpret=True)
+    assert bool(jnp.all(jnp.isfinite(got)))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0,
+        atol=2e-5 * max(1.0, float(jnp.max(jnp.abs(want)))),
+    )
+
+
 def test_rejects_bad_head_geometry():
     rng = np.random.RandomState(1)
     attn, ff = _params(rng, 96, 3)
