@@ -95,7 +95,7 @@ def _kernel(x_ref, agamma_ref, wq_ref, wk_ref, wv_ref, wg_ref, gb_ref,
     _, n_pad, c = x_ref.shape
     x = x_ref[0]  # (n_pad, C)
     x32 = x.astype(jnp.float32)
-    gn = _rms(x32, agamma_ref[...])  # (ipb * n_pad, C) float32
+    gn = _rms(x32, agamma_ref[...])  # (n_pad, C) float32
     gnb = gn.astype(wq_ref.dtype)
 
     def _proj(w_ref):
@@ -103,7 +103,7 @@ def _kernel(x_ref, agamma_ref, wq_ref, wk_ref, wv_ref, wg_ref, gb_ref,
             gnb, w_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (ipb * n_pad, gh * 32) float32
+        )  # (n_pad, gh * 32) float32
 
     q_all = _proj(wq_ref)
     k_all = _proj(wk_ref)
@@ -112,11 +112,11 @@ def _kernel(x_ref, agamma_ref, wq_ref, wk_ref, wv_ref, wg_ref, gb_ref,
     # so the (ghd, ghd) rswap matmul is exactly the block-diagonal of the
     # per-head (32, 32) ones — one full-width MXU dot instead of gh skinny
     # ones. The q tables arrive pre-scaled by head_dim**-0.5 * log2(e)
-    # (scores come out in base-2 units), saving a separate scaling pass;
-    # both tables are row-tiled across the ipb stacked items.
+    # (scores come out in base-2 units), saving a separate scaling pass.
     q_r = rope_rotate(q_all, cosq_ref[0], sinq_ref[0]).astype(x.dtype)
     k_r = rope_rotate(k_all, cosk_ref[0], sink_ref[0]).astype(x.dtype)
 
+    ones_col = jnp.ones((n_pad, 1), x.dtype)
     head_outs = []
     for j in range(gh):
         hsl = slice(j * _HEAD_DIM, (j + 1) * _HEAD_DIM)
@@ -132,13 +132,21 @@ def _kernel(x_ref, agamma_ref, wq_ref, wk_ref, wv_ref, wg_ref, gb_ref,
         # exp2's float32 underflow range, every probability flushes to
         # zero and 0/0 = NaN (test_extreme_score_magnitudes).
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp2(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        o_h = jax.lax.dot_general(
-            p.astype(x.dtype), v_all[:, hsl],
+        p = jnp.exp2(s - m).astype(x.dtype)
+        # the softmax row sum rides as an extra ones-column of v: output
+        # lane 32 of the pv dot IS the normalizer, so the (n, n)-wide VPU
+        # lane reduction moves onto the MXU for free (N=33 still fits one
+        # output tile). Numerator and denominator then use the SAME
+        # rounded p — the result is the exact softmax of the p the MXU
+        # sees. Masked padding columns are exactly 0 in p, so the ones
+        # rows beyond the true length contribute nothing.
+        o_full = jax.lax.dot_general(
+            p, jnp.concatenate([v_all[:, hsl], ones_col], axis=1),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (n_pad, 32) float32, softmax normalizer still unapplied
+        )  # (n_pad, 33) float32, softmax normalizer in the last lane
+        o_h = o_full[:, :_HEAD_DIM]
+        l = o_full[:, _HEAD_DIM:]
         # per-head sigmoid gate from the normed input; the 1/l softmax
         # normalizer rides along in the same broadcast multiply
         gate = jax.nn.sigmoid(
