@@ -345,3 +345,102 @@ def test_full_decoder_matches_independent_pipeline():
     # sanity: it actually found the 4/4 grid with period 22 at 50 fps
     assert len(produced) >= 10
     assert set(produced[:, 1]) == {1.0, 2.0, 3.0, 4.0}
+
+
+# ---------------------------------------------------------------------------
+# recursion-free ground truth: exhaustive path enumeration
+# ---------------------------------------------------------------------------
+
+
+def _exhaustive_best(log_t, pointers, dens):
+    """Argmax over ALL positive-probability state sequences by depth-first
+    enumeration of the transition graph — no dynamic program, no backtrack
+    table, nothing structurally shared with EITHER Viterbi implementation.
+    Returns (best_logp, best_path). Feasible because within a beat the
+    phase advances deterministically (branching only at beat boundaries);
+    keep the state space tiny."""
+    s = log_t.shape[0]
+    succ = [np.flatnonzero(np.isfinite(log_t[:, frm])) for frm in range(s)]
+    t_total = len(dens)
+    best = [-np.inf, None]
+
+    def extend(path, score):
+        t = len(path)
+        if t == t_total:
+            if score > best[0]:
+                best[0], best[1] = score, list(path)
+            return
+        for nxt in succ[path[-1]]:
+            extend(
+                path + [int(nxt)],
+                score + log_t[nxt, path[-1]] + dens[t][pointers[nxt]],
+            )
+
+    # madmom convention: uniform init over a hidden s0, one transition
+    # before the first observation
+    init = -np.log(s)
+    for first in range(s):
+        pred = log_t[first, :]
+        if not np.isfinite(pred).any():
+            continue
+        extend([first], init + float(np.max(pred)) + dens[0][pointers[first]])
+    return best[0], np.asarray(best[1])
+
+
+def _path_score(log_t, pointers, dens, path):
+    """Score an explicit path under the same convention."""
+    s = log_t.shape[0]
+    score = -np.log(s) + float(np.max(log_t[path[0], :]))
+    score += dens[0][pointers[path[0]]]
+    for t in range(1, len(path)):
+        score += log_t[path[t], path[t - 1]] + dens[t][pointers[path[t]]]
+    return score
+
+
+def test_viterbi_matches_exhaustive_path_enumeration():
+    """Both Viterbi decoders (the independent dense one and the production
+    lax.scan one) against brute force, on a 10-state model (2 beats,
+    intervals {2, 3}) small enough to enumerate every valid path of a
+    20-frame sequence. transition_lambda is small so tempo changes are NOT
+    pruned and the graph genuinely branches."""
+    import jax.numpy as jnp
+
+    from beat_this_tpu.postprocessing.dbn import _backtrack
+
+    num_beats, min_bpm, max_bpm, lam = 2, 1000, 1500, 5.0
+    assert interval_range(min_bpm, max_bpm) == (2, 3)
+    rng = np.random.RandomState(3)
+    act = rng.uniform(0.005, 0.45, (20, 2))
+    dens = log_densities_from_activations(act)
+
+    states = enumerate_states(num_beats, min_bpm, max_bpm)
+    log_t = dense_log_transitions(states, num_beats, lam)
+    pointers = observation_pointers(states)
+
+    logp_brute, path_brute = _exhaustive_best(log_t, pointers, dens)
+    assert np.isfinite(logp_brute)
+
+    path_dense, logp_dense = dense_viterbi(log_t, pointers, dens)
+    np.testing.assert_allclose(logp_dense, logp_brute, rtol=1e-10)
+    # ties are measure-zero under continuous uniform activations, but stay
+    # tie-proof anyway: the decoded path must SCORE optimally
+    np.testing.assert_allclose(
+        _path_score(log_t, pointers, dens, path_dense), logp_brute,
+        rtol=1e-10,
+    )
+
+    decoder = DbnDecoder(
+        beats_per_bar=(num_beats,), min_bpm=min_bpm, max_bpm=max_bpm,
+        fps=FPS, transition_lambda=lam, threshold=0,
+    )
+    hmm = decoder.patterns[0]
+    assert hmm.num_states == len(states)
+    logp_prod, state, choices = decoder._forward_pattern(hmm, dens)
+    path_prod = np.asarray(
+        _backtrack(jnp.asarray(hmm.from_idx), choices, state)
+    )[: len(dens)]
+    np.testing.assert_allclose(logp_prod, logp_brute, rtol=1e-5)
+    np.testing.assert_allclose(
+        _path_score(log_t, pointers, dens, path_prod), logp_brute,
+        rtol=1e-10,
+    )
