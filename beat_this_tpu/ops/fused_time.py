@@ -27,9 +27,12 @@ softmax recurrence: at these sizes K/V fit VMEM outright, so the two-pass
 max/sum is unnecessary, and the raised scoped-VMEM ceiling (the same story
 as ops/flash_attention._train_vmem_params) covers the transients. Key
 padding is an additive -1e5 mask row (one broadcast add) rather than an
-iota/compare/select pass, and RoPE is applied to a head group's whole
+iota/compare/select pass, RoPE is applied to a head group's whole
 (n, ghd) q/k panels in one block-diagonal rswap dot with the softmax scale
-pre-folded into the q tables. (A per-row norm BOUND in place of the exact
+pre-folded into the q tables, and at eval the softmax row-sum rides the pv
+dot as a ones-column of v — the N=32 output pads to a 128-lane MXU tile
+anyway, so lane 32 carries the normalizer for free and the (n, n) VPU lane
+reduction disappears. (A per-row norm BOUND in place of the exact
 softmax row max was tried and reverted: its slack exceeds exp2's float32
 underflow range at large weight scales and the all-zero rows divide to
 NaN — test_extreme_score_magnitudes.)
