@@ -141,6 +141,79 @@ def plan_chunks(
     return starts
 
 
+def zeropad(spect, left: int = 0, right: int = 0) -> np.ndarray:
+    """Zero time-frames added before/after a (T, F) spectrogram — the
+    reference's public padding helper (beat_this/inference.py:100-107),
+    host-side numpy here."""
+    spect = np.asarray(spect)
+    if not left and not right:
+        return spect
+    return np.pad(spect, ((left, right), (0, 0)))
+
+
+def split_piece(
+    spect,
+    chunk_size: int,
+    border_size: int = 6,
+    avoid_short_end: bool = True,
+):
+    """Chunk a (T, F) spectrogram on the reference's start grid and padding
+    rules (beat_this/inference.py:110-144): consecutive chunks overlap by
+    2*border_size, the first/last chunk are zero-padded by border_size at
+    the piece edges, and with `avoid_short_end` the last start is shifted
+    left to end exactly at the piece end (a sub-chunk-length piece stays a
+    single shorter chunk). Returns (chunks, starts). The production path
+    (`ChunkedPredictor`) does this slicing on device from one padded
+    buffer; this host-side helper exists for reference API parity."""
+    spect = np.asarray(spect)
+    t = len(spect)
+    starts = plan_chunks(t, chunk_size, border_size, avoid_short_end)
+    chunks = []
+    for start in starts:
+        lo, hi = max(int(start), 0), min(int(start) + chunk_size, t)
+        chunks.append(
+            zeropad(
+                spect[lo:hi],
+                left=lo - int(start),
+                right=max(0, min(border_size, int(start) + chunk_size - t)),
+            )
+        )
+    return chunks, starts
+
+
+def aggregate_prediction(
+    pred_chunks,
+    starts,
+    full_size: int,
+    chunk_size: int,
+    border_size: int,
+    overlap_mode: str,
+    device=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stitch per-chunk framewise logits back into one piece-length pair of
+    (beat, downbeat) arrays, reference semantics (beat_this/inference.py:
+    147-185): borders are discarded, uncovered frames stay at -1000, and
+    where trimmed chunks still overlap, "keep_first" lets the earlier chunk
+    win and "keep_last" the later one. `device` is accepted for reference
+    API compatibility and ignored (outputs are host numpy)."""
+    if overlap_mode not in ("keep_first", "keep_last"):
+        raise ValueError(f"unknown overlap_mode: {overlap_mode!r}")
+    del device
+    beat = np.full(full_size, -1000.0, np.float32)
+    downbeat = np.full(full_size, -1000.0, np.float32)
+    items = list(zip(starts, pred_chunks))
+    if overlap_mode == "keep_first":
+        items = items[::-1]  # later writes win, so write the winners last
+    for start, chunk in items:
+        start = int(start)
+        for out, key in ((beat, "beat"), (downbeat, "downbeat")):
+            seg = np.asarray(chunk[key])
+            if border_size > 0:
+                seg = seg[border_size : len(seg) - border_size]
+            out[start + border_size : start + border_size + len(seg)] = seg
+    return beat, downbeat
+
+
 def _bucket(n: int, buckets=(1, 2, 4, 8, 16, 32, 64, 128, 256)) -> int:
     for b in buckets:
         if n <= b:

@@ -372,3 +372,63 @@ def test_short_piece_logits_match_reference_shorter_chunk(reference_beat_tracker
     beat, down = predictor.predict(spect)
     np.testing.assert_allclose(beat, ref_beat, atol=5e-4)
     np.testing.assert_allclose(down, ref_down, atol=5e-4)
+
+
+@pytest.mark.parametrize("t", [90, 300, 1499, 1500, 1501, 4321])
+def test_chunk_helper_parity(reference_inference, t):
+    """The public host-side chunking helpers (zeropad / split_piece /
+    aggregate_prediction, reference beat_this/inference.py:100-185) against
+    the reference's own implementations, across the short-piece, exact-fit,
+    and shifted-last-chunk regimes and both overlap modes."""
+    import torch
+
+    ref_inf, _ = reference_inference
+    from beat_this_tpu.inference import (
+        aggregate_prediction,
+        split_piece,
+        zeropad,
+    )
+
+    rng = np.random.RandomState(t)
+    spect = rng.randn(t, 12).astype(np.float32)
+    chunk_size, border = 300, 6
+
+    want = ref_inf.zeropad(torch.from_numpy(spect), 3, 5).numpy()
+    np.testing.assert_array_equal(zeropad(spect, 3, 5), want)
+
+    chunks, starts = split_piece(spect, chunk_size, border)
+    ref_chunks, ref_starts = ref_inf.split_piece(
+        torch.from_numpy(spect), chunk_size, border
+    )
+    np.testing.assert_array_equal(starts, np.asarray(ref_starts))
+    assert len(chunks) == len(ref_chunks)
+    for ours, ref in zip(chunks, ref_chunks):
+        np.testing.assert_array_equal(ours, ref.numpy())
+
+    # synthetic per-chunk "logits" with distinct values per chunk so the
+    # overlap winner is observable
+    preds = [
+        {
+            "beat": rng.randn(len(c)).astype(np.float32),
+            "downbeat": rng.randn(len(c)).astype(np.float32),
+        }
+        for c in chunks
+    ]
+    for mode in ("keep_first", "keep_last"):
+        got_b, got_d = aggregate_prediction(
+            preds, starts, t, chunk_size, border, mode
+        )
+        ref_b, ref_d = ref_inf.aggregate_prediction(
+            [
+                {k: torch.from_numpy(v) for k, v in p.items()}
+                for p in preds
+            ],
+            list(starts),
+            t,
+            chunk_size,
+            border,
+            mode,
+            "cpu",
+        )
+        np.testing.assert_array_equal(got_b, ref_b.numpy())
+        np.testing.assert_array_equal(got_d, ref_d.numpy())
