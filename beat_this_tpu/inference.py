@@ -475,6 +475,23 @@ class ChunkedPredictor:
         return results
 
 
+def _pad_logit_group(logits):
+    """Stack per-piece (beat, downbeat) logit pairs of ragged lengths into
+    padded (n, t_max) arrays plus the validity mask the batched
+    postprocessor consumes (padding at -1000 can never cross the 0-logit
+    peak threshold)."""
+    t_max = max(len(b) for b, _ in logits)
+    n = len(logits)
+    beat = np.full((n, t_max), -1000.0, np.float32)
+    down = np.full((n, t_max), -1000.0, np.float32)
+    mask = np.zeros((n, t_max), bool)
+    for i, (b, d) in enumerate(logits):
+        beat[i, : len(b)] = b
+        down[i, : len(d)] = d
+        mask[i, : len(b)] = True
+    return beat, down, mask
+
+
 def predict_postprocess_batched(
     predictor: "ChunkedPredictor",
     postprocessor,
@@ -498,15 +515,7 @@ def predict_postprocess_batched(
 
     def flush(group):
         logits = predictor.predict_many([p["spect"] for p in group])
-        t_max = max(len(b) for b, _ in logits)
-        n = len(group)
-        beat = np.full((n, t_max), -1000.0, np.float32)
-        down = np.full((n, t_max), -1000.0, np.float32)
-        mask = np.zeros((n, t_max), bool)
-        for i, (b, d) in enumerate(logits):
-            beat[i, : len(b)] = b
-            down[i, : len(d)] = d
-            mask[i, : len(b)] = True
+        beat, down, mask = _pad_logit_group(logits)
         beat_times, down_times = postprocessor(beat, down, mask)
         yield from zip(group, beat_times, down_times)
 
@@ -708,13 +717,28 @@ class BatchedFile2File(File2File):
                 continue
             spects = self._batched_spects(signals)
             results = self.predictor.predict_many(spects)
-            for (path, out), spect, (beat_logits, downbeat_logits) in zip(
-                valid, spects, results
+            # postprocess the whole group in ONE batched call (the same
+            # padded-group path the eval protocol uses) — per-file
+            # postprocessing costs one device round trip per file, which
+            # dominates directory mode on a high-latency link. If the
+            # batched call itself fails, fall back to per-file so one bad
+            # piece cannot take down its group.
+            try:
+                beat_times, down_times = self.frames2beats(
+                    *_pad_logit_group(results)
+                )
+            except Exception:  # noqa: BLE001
+                beat_times = down_times = None
+            for idx, ((path, out), (beat_logits, downbeat_logits)) in (
+                enumerate(zip(valid, results))
             ):
                 try:
-                    beats, downbeats = self.frames2beats(
-                        beat_logits, downbeat_logits
-                    )
+                    if beat_times is None:
+                        beats, downbeats = self.frames2beats(
+                            beat_logits, downbeat_logits
+                        )
+                    else:
+                        beats, downbeats = beat_times[idx], down_times[idx]
                     save_beat_tsv(beats, downbeats, out)
                     if after_each:
                         after_each(path, out, beat_logits, downbeat_logits)

@@ -65,3 +65,58 @@ def test_cli_batched_directory(tmp_path):
         acts = np.load(out / f"f{i}.npy")
         assert acts.shape[0] == 2
     assert not (out / "bad.beats").exists() or (out / "bad.beats").stat().st_size == 0
+
+
+def test_process_many_batches_postprocessing(model, tmp_path, monkeypatch):
+    """Directory mode must postprocess each group in ONE batched call (per
+    file costs one device round trip each on a high-latency link), with
+    identical beat times to the per-file path, and fall back to per-file
+    isolation only when the batched call fails."""
+    import beat_this_tpu.inference as inf
+    from beat_this_tpu.io.audio import save_wav
+    from beat_this_tpu.postprocessing import Postprocessor
+
+    f2f = inf.BatchedFile2File.__new__(inf.BatchedFile2File)
+    f2f.model = model
+    f2f.predictor = inf.ChunkedPredictor(model, chunk_size=96, border_size=6)
+    f2f.frames2beats = Postprocessor(type="minimal")
+    f2f.group_size = 4
+    f2f.signal2spect = inf.Audio2Frames.signal2spect.__get__(f2f)
+    f2f.spect2frames = f2f.predictor.predict
+
+    rng = np.random.RandomState(0)
+    tasks = []
+    for i in range(4):
+        t = np.arange(int(22050 * 1.2)) / 22050.0
+        x = (0.2 * np.sin(2 * np.pi * (250 + 40 * i) * t)).astype(np.float32)
+        for b in (0.3, 0.7):
+            j = int(b * 22050)
+            x[j : j + 400] += np.hanning(400).astype(np.float32)
+        path = tmp_path / f"in{i}.wav"
+        save_wav(path, x, 22050)
+        tasks.append((path, tmp_path / f"out{i}.beats"))
+
+    calls = []
+    orig = Postprocessor.__call__
+
+    def counting(self, beat, downbeat, padding_mask=None):
+        calls.append(np.asarray(beat).ndim)
+        return orig(self, beat, downbeat, padding_mask)
+
+    monkeypatch.setattr(Postprocessor, "__call__", counting)
+    f2f.process_many(tasks)
+    # one 2D batched call for the whole group, no per-file 1D calls
+    assert calls == [2]
+    outputs = sorted(p.name for p in tmp_path.glob("out*.beats"))
+    assert len(outputs) == 4
+
+    # the batched times must equal the per-file path's
+    monkeypatch.setattr(Postprocessor, "__call__", orig)
+    signals = [f2f._load_one(p) for p, _ in tasks]
+    spects = f2f._batched_spects(signals)
+    for (path, out), spect in zip(tasks, spects):
+        b_logits, d_logits = f2f.predictor.predict(spect)
+        beats, downbeats = f2f.frames2beats(b_logits, d_logits)
+        written = np.loadtxt(out, ndmin=2)
+        np.testing.assert_allclose(written[:, 0], np.round(beats, 6),
+                                   atol=1e-6)
