@@ -664,10 +664,11 @@ class File2File(File2Beats):
 
 class BatchedFile2File(File2File):
     """Directory-scale inference: groups of files share ONE batched mel
-    computation and ONE batched chunk forward (via `predict_many`), instead of
-    the reference's one-file-at-a-time loop (beat_this/cli.py:177-191). On a
-    high-latency accelerator link this is the difference between per-file
-    round trips and a handful of dispatches per group."""
+    computation, ONE batched chunk forward (via `predict_many`) and ONE
+    batched postprocess, instead of the reference's one-file-at-a-time loop
+    (beat_this/cli.py:177-191). On a high-latency accelerator link this is
+    the difference between per-file round trips and a handful of dispatches
+    per group."""
 
     def __init__(self, checkpoint_path="final0", device=None, float16=False,
                  dbn=False, group_size=8):
