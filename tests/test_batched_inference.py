@@ -117,6 +117,8 @@ def test_process_many_batches_postprocessing(model, tmp_path, monkeypatch):
     for (path, out), spect in zip(tasks, spects):
         b_logits, d_logits = f2f.predictor.predict(spect)
         beats, downbeats = f2f.frames2beats(b_logits, d_logits)
-        written = np.loadtxt(out, ndmin=2)
-        np.testing.assert_allclose(written[:, 0], np.round(beats, 6),
-                                   atol=1e-6)
+        text = out.read_text()
+        written = np.array(
+            [float(line.split("\t")[0]) for line in text.splitlines()]
+        )
+        np.testing.assert_allclose(written, np.round(beats, 6), atol=1e-6)
