@@ -146,3 +146,34 @@ def log_mel_spectrogram(
     mel = mag @ fb  # (B, frames, n_mels)
     out = jnp.log1p(c.log_multiplier * mel)
     return out[0] if squeeze else out
+
+
+class LogMelSpect:
+    """Callable-class surface of `log_mel_spectrogram`, mirroring the
+    reference's `beat_this.preprocessing.LogMelSpect` torch module
+    (beat_this/preprocessing.py:26-63): construct with the spectrogram
+    parameters, call with a (num_samples,) or (batch, num_samples)
+    waveform, get (frames, n_mels) log-mel values. `mel_scale`,
+    `normalized` and `power` accept only the reference's defaults (the
+    only values the model was ever trained with); `device` is accepted
+    for API compatibility and ignored (JAX places the computation on the
+    default backend)."""
+
+    def __init__(self, sample_rate=22050, n_fft=1024, hop_length=441,
+                 f_min=30, f_max=11000, n_mels=128, mel_scale="slaney",
+                 normalized="frame_length", power=1, log_multiplier=1000,
+                 device=None):
+        if (mel_scale, normalized, power) != ("slaney", "frame_length", 1):
+            raise NotImplementedError(
+                "only the reference configuration is implemented: "
+                "mel_scale='slaney', normalized='frame_length', power=1"
+            )
+        del device
+        self.config = LogMelConfig(
+            sample_rate=sample_rate, n_fft=n_fft, hop_length=hop_length,
+            f_min=float(f_min), f_max=float(f_max), n_mels=n_mels,
+            log_multiplier=float(log_multiplier),
+        )
+
+    def __call__(self, waveform):
+        return log_mel_spectrogram(jnp.asarray(waveform), self.config)
