@@ -110,6 +110,54 @@ def derive_output_path(input_path, suffix, append, output=None, parent=None):
     return target.with_name(name)
 
 
+def _gather_jobs(inputs, suffix, append, output, skip_existing):
+    """Expand the command-line inputs into (audio_path, beats_path) jobs.
+
+    Directories are walked recursively; anything whose name already carries
+    the output suffix is not treated as audio. The list is materialized up
+    front so directory mode can show a progress bar and feed whole groups
+    through the batched predictor. Matches the reference CLI's discovery
+    behavior (reference: beat_this/cli.py:161-173).
+    """
+    jobs = []
+    for entry in inputs:
+        if not entry.is_dir():
+            jobs.append(
+                (entry, derive_output_path(entry, suffix, append, output))
+            )
+            continue
+        for candidate in entry.rglob("*"):
+            if candidate.is_dir() or candidate.name.endswith(suffix):
+                continue
+            beats_path = derive_output_path(
+                candidate, suffix, append, output, parent=entry
+            )
+            if skip_existing and beats_path.exists():
+                continue
+            jobs.append((candidate, beats_path))
+    return jobs
+
+
+def _claim_jobs(jobs, touch_first, skip_existing):
+    """Filter jobs to the ones this process owns, claiming output files up
+    front when --touch-first is set (atomic multi-process sharding of one
+    directory: whoever creates the empty output first wins)."""
+    if not touch_first:
+        if skip_existing:
+            return [job for job in jobs if not job[1].exists()]
+        return list(jobs)
+    owned = []
+    for job in jobs:
+        beats_path = job[1]
+        try:
+            beats_path.parent.mkdir(parents=True, exist_ok=True)
+            beats_path.touch(exist_ok=not skip_existing)
+        except FileExistsError:
+            continue
+        owned.append(job)
+    return owned
+
+
 def run(
     inputs,
     model,
@@ -169,16 +217,16 @@ def run(
     file2file.signal2spect = signal2spect
     if activations:
 
-        def process(audiofile, outfile):
-            wav, sr = load_audio(audiofile)
-            spect = file2file.signal2spect(wav, sr)
-            beat_logits, downbeat_logits = file2file.spect2frames(spect)
-            np.save(
-                Path(outfile).with_suffix(".npy"),
-                np.vstack([beat_logits, downbeat_logits]),
+        def process(audio_path, beats_path):
+            # the logit dump reuses the same staged pipeline the normal
+            # path runs, with the raw framewise activations captured
+            # between the forward and the postprocessor
+            waveform, sr = load_audio(audio_path)
+            logits = file2file.spect2frames(
+                file2file.signal2spect(waveform, sr)
             )
-            beats, downbeats = file2file.frames2beats(beat_logits, downbeat_logits)
-            save_beat_tsv(beats, downbeats, outfile)
+            np.save(Path(beats_path).with_suffix(".npy"), np.vstack(logits))
+            save_beat_tsv(*file2file.frames2beats(*logits), beats_path)
 
     else:
         process = file2file
@@ -194,38 +242,16 @@ def run(
             process(inputs[0], output)
         print(throughput.summary(), file=sys.stderr)
     else:
-        # collect tasks first for a progress bar
-        tasks = []
-        for item in inputs:
-            if item.is_dir():
-                for fn in item.rglob("*"):
-                    if not fn.name.endswith(suffix) and not fn.is_dir():
-                        output_path = derive_output_path(
-                            fn, suffix, append, output, parent=item
-                        )
-                        if not skip_existing or not output_path.exists():
-                            tasks.append((fn, output_path))
-            else:
-                tasks.append((item, derive_output_path(item, suffix, append, output)))
-        # claim files up front (atomic multi-process sharding)
-        claimed = []
-        for item, outfile in tasks:
-            if touch_first:
-                try:
-                    outfile.parent.mkdir(parents=True, exist_ok=True)
-                    outfile.touch(exist_ok=not skip_existing)
-                except FileExistsError:
-                    continue
-            elif skip_existing and outfile.exists():
-                continue
-            claimed.append((item, outfile))
+        jobs = _gather_jobs(inputs, suffix, append, output, skip_existing)
+        claimed = _claim_jobs(jobs, touch_first, skip_existing)
 
         progress = tqdm.tqdm(total=len(claimed)) if tqdm is not None else None
 
-        def on_error(item, exc):
+        def on_error(audio_path, exc):
             print(
-                f'Could not process "{item}". Rerun with this file alone '
-                "for details.",
+                f"beat_this_tpu: {audio_path} failed "
+                f"({type(exc).__name__}); run it by itself to see the "
+                "full traceback.",
                 file=sys.stderr,
             )
             if progress is not None:

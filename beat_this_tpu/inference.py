@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 import os
+import sys
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable
@@ -728,7 +729,16 @@ class BatchedFile2File(File2File):
                 beat_times, down_times = self.frames2beats(
                     *_pad_logit_group(results)
                 )
-            except Exception:  # noqa: BLE001
+            except Exception as exc:  # noqa: BLE001
+                # make the degradation observable: a systematic batched-
+                # postprocess bug would otherwise silently cost directory
+                # mode its one-device-call-per-group latency win
+                print(
+                    "beat_this_tpu: batched postprocessing failed with "
+                    f"{type(exc).__name__}: {exc}; falling back to "
+                    "per-file postprocessing for this group",
+                    file=sys.stderr,
+                )
                 beat_times = down_times = None
             for idx, ((path, out), (beat_logits, downbeat_logits)) in (
                 enumerate(zip(valid, results))

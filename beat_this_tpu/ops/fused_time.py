@@ -84,6 +84,13 @@ except Exception:  # pragma: no cover
 
 _HEAD_DIM = 32  # the model's only head size (hardcoded like ops/fused_freq)
 _MAX_HEADS_PER_GROUP = 4  # 4 x 32 = 128 lanes: one MXU tile of qkv columns
+# additive key-padding mask value. Correctness requires the worst REAL score
+# in a row to stay above _MASK_NEG + 126 (base-2 units) so a real column
+# always wins the row max and padded columns underflow to exactly 0 after
+# exp2(s - m); see the margin derivation at the maskrow construction in
+# fused_time_roformer. -1e5 leaves ~3 orders of magnitude of score headroom
+# beyond the extreme-scale contract.
+_MASK_NEG = -1e5
 
 
 def fused_time_available() -> bool:
@@ -560,7 +567,7 @@ def _attn_train_operands(x, attn_params, rope_cos, rope_sin, heads, gh,
                     (1, gh))
     cosp = jnp.pad(cosf, ((0, n_pad - n), (0, 0)), constant_values=1.0)[None]
     sinp = jnp.pad(sinf, ((0, n_pad - n), (0, 0)), constant_values=0.0)[None]
-    maskp = jnp.zeros((1, n_pad), jnp.float32).at[:, n:].set(-1e5)
+    maskp = jnp.zeros((1, n_pad), jnp.float32).at[:, n:].set(_MASK_NEG)
     ops = (
         seed,
         xp,
@@ -842,8 +849,15 @@ def fused_time_roformer(
     sinq = sinp * qscale
     # additive key-padding mask row: -1e5 puts exp2(s - m) at exactly 0 for
     # padded columns (s - m stays far above float32's 2**-149 underflow for
-    # any real score, far below it for masked ones)
-    maskrow = jnp.zeros((1, n_pad), jnp.float32).at[:, n:].set(-1e5)
+    # any real score, far below it for masked ones). Margin derivation: the
+    # mask stays correct as long as some real score exceeds -1e5 + (-126)
+    # (else a padded column would win the row max). Real scores are bounded
+    # by |q_i||k_j| * scale * LOG2E; padded keys project to exactly 0, so a
+    # row's worst real score is >= -max|q||k|·scale·LOG2E — for that to
+    # reach -99874, |q||k| would have to exceed ~3.9e5 at head_dim 32,
+    # i.e. activation·weight norms ~625x beyond anything the extreme-scale
+    # contract (wscale=25, test_extreme_score_magnitudes) exercises.
+    maskrow = jnp.zeros((1, n_pad), jnp.float32).at[:, n:].set(_MASK_NEG)
 
     from beat_this_tpu.ops.flash_attention import vmem_params
 
