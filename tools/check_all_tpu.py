@@ -58,91 +58,184 @@ def check_eval_logit_parity():
             lambda p, s, x: apply_beat_this(p, s, x, config,
                                             compute_dtype=jnp.bfloat16)
         )(params, state, x)
-        res = np.asarray(jax.device_get(out["beat"]))
-        layers._flash_enabled.cache_clear()
-        os.environ.pop("BEAT_THIS_NO_FLASH", None)
-        return res
-
-    a, b = logits(True), logits(False)
-    rel = float(np.abs(a - b).max() / np.abs(b).max())
-    assert rel < 3e-2, f"eval logit deviation {rel:.3e}"
-    return {"rel_dev": rel}
-
-
-def check_beat_level_kernel_parity():
-    """Kernel-vs-XLA parity measured in the unit the north star is
-    denominated in: postprocessed beat TIMES. The logit-level 3e-2 bound
-    (check_eval_logit_parity) cannot say whether bf16 kernel deviations
-    flip peaks near the 0-logit threshold, so this runs full-size-model
-    logits through the entire minimal postprocessing on both paths and
-    scores the kernel path's beats against the XLA path's with the same
-    F-measure the evaluation protocol uses (BASELINE.md's 0.001 target).
-    The model is the _flagship_trained() one and the inputs are drawn from
-    its click-corpus distribution, so the logits have the peaky,
-    well-separated structure of a real trained checkpoint — untrained
-    random weights put every logit near the 0 threshold, where ANY bf16
-    path (kernel or XLA) flips peaks and the comparison measures noise,
-    not the kernels. After only 30 optimizer steps the peak logits are
-    still below a converged model's 0 threshold (measured: 0 peaks at
-    threshold 0), so BOTH paths are shifted by one shared XLA-derived
-    constant placing the decision boundary in the fixture's own
-    peak/background gap — kernel-path deviations flip peaks there exactly
-    as they would at a converged checkpoint's natural threshold."""
-    import jax
-    import jax.numpy as jnp
-
-    from beat_this_tpu.metrics import f_measure
-    from beat_this_tpu.model import apply_beat_this
-    from beat_this_tpu.model import layers
-    from beat_this_tpu.postprocessing import Postprocessor
-
-    config, params, state, _ = _flagship_trained()
-    rng = np.random.RandomState(3)
-    spect = rng.randn(2, 1500, 128).astype(np.float32)
-    for i, phase in enumerate((7, 13)):
-        spect[i, np.arange(phase, 1500, 25), :] += 6.0
-    x = jnp.asarray(spect)
-
-    def logits(use_kernels):
-        layers._flash_enabled.cache_clear()
-        os.environ.pop("BEAT_THIS_NO_FLASH", None)
-        if not use_kernels:
-            os.environ["BEAT_THIS_NO_FLASH"] = "1"
-        out, _ = jax.jit(
-            lambda p, s, x: apply_beat_this(p, s, x, config,
-                                            compute_dtype=jnp.bfloat16)
-        )(params, state, x)
         res = jax.device_get((out["beat"], out["downbeat"]))
         layers._flash_enabled.cache_clear()
         os.environ.pop("BEAT_THIS_NO_FLASH", None)
         return np.asarray(res[0]), np.asarray(res[1])
 
-    beat_k, down_k = logits(True)
-    beat_x, down_x = logits(False)
+    (ab, ad), (bb, bd) = logits(True), logits(False)
+    rel_beat = float(np.abs(ab - bb).max() / np.abs(bb).max())
+    rel_down = float(np.abs(ad - bd).max() / np.abs(bd).max())
+    rel = max(rel_beat, rel_down)
+    # bound tightened 3e-2 -> 2.5e-2 (VERDICT r4 #8; measured 1.9e-2 r4)
+    assert rel < 2.5e-2, f"eval logit deviation {rel:.3e}"
+    return {"rel_dev": rel, "rel_dev_beat": rel_beat,
+            "rel_dev_downbeat": rel_down}
 
-    def _shift(ref, q_hi):
-        # midpoint between the peak mass (clicks every 25 frames: beats 4%
-        # of frames, downbeats 1%) and the background median, computed from
-        # the XLA path ONLY so the kernel path cannot influence the shared
-        # decision boundary
-        return -0.5 * float(np.quantile(ref, q_hi) + np.quantile(ref, 0.5))
 
-    sb = _shift(beat_x, 0.99)
-    sd = _shift(down_x, 0.995)
-    post = Postprocessor("minimal", fps=50)
-    out = {"shift_beat": sb, "shift_downbeat": sd}
-    worst = 1.0
-    for i in range(beat_k.shape[0]):
-        bk, dk = post(beat_k[i] + sb, down_k[i] + sd)
-        bx, dx = post(beat_x[i] + sb, down_x[i] + sd)
-        assert len(bx) >= 10, f"degenerate fixture: {len(bx)} XLA peaks"
+def _gate_suite():
+    """16 synthetic pieces spanning the DBN's 55-215 bpm range with varied
+    burst strength, background noise, adjacent double peaks and jitter
+    (VERDICT r4 #3). Returns (spect (16, 1500, 128) float32, specs)."""
+    # (period_frames, burst, noise, style); 14 frames = 214 bpm, 54 = 56
+    specs = [
+        (14, 6.0, 1.0, "plain"), (17, 6.0, 1.0, "plain"),
+        (20, 6.0, 1.0, "plain"), (25, 6.0, 1.0, "plain"),
+        (30, 6.0, 1.0, "plain"), (36, 6.0, 1.0, "plain"),
+        (44, 6.0, 1.0, "plain"), (54, 6.0, 1.0, "plain"),
+        (25, 4.0, 1.0, "weak"), (25, 6.0, 1.5, "noisy"),
+        (20, 5.0, 1.2, "weak-noisy"), (25, 6.0, 1.0, "double"),
+        (30, 6.0, 1.0, "double"), (25, 6.0, 1.0, "jitter"),
+        (44, 4.5, 1.3, "sparse-weak"), (14, 6.0, 1.2, "dense-noisy"),
+    ]
+    rng = np.random.RandomState(3)
+    t = 1500
+    spect = np.empty((len(specs), t, 128), np.float32)
+    for i, (period, burst, noise, style) in enumerate(specs):
+        spect[i] = rng.randn(t, 128) * noise
+        frames = np.arange(3 + (i * 5) % period, t, period)
+        if style == "jitter":
+            frames = np.clip(frames + rng.randint(-1, 2, len(frames)), 0, t - 1)
+        spect[i, frames, :] += burst
+        if style == "double":  # adjacent peak pairs stress deduplication
+            spect[i, np.minimum(frames + 1, t - 1), :] += burst * 0.9
+    return spect, specs
+
+
+def _gate_logits(config, params, state, x, use_kernels, dtype):
+    """Full-model logits in (2, 1500, 128) slices so the bf16 paths reuse
+    the executable the rest of the gate already compiled."""
+    import jax
+    import jax.numpy as jnp
+
+    from beat_this_tpu.model import apply_beat_this, layers
+
+    layers._flash_enabled.cache_clear()
+    os.environ.pop("BEAT_THIS_NO_FLASH", None)
+    if not use_kernels:
+        os.environ["BEAT_THIS_NO_FLASH"] = "1"
+    try:
+        fn = jax.jit(
+            lambda p, s, x: apply_beat_this(p, s, x, config,
+                                            compute_dtype=dtype)
+        )
+        beats, downs = [], []
+        for i in range(0, len(x), 2):
+            out, _ = fn(params, state, jnp.asarray(x[i : i + 2]))
+            res = jax.device_get((out["beat"], out["downbeat"]))
+            beats.append(np.asarray(res[0], np.float32))
+            downs.append(np.asarray(res[1], np.float32))
+    finally:
+        layers._flash_enabled.cache_clear()
+        os.environ.pop("BEAT_THIS_NO_FLASH", None)
+    return np.concatenate(beats), np.concatenate(downs)
+
+
+def _gate_boundary(ref_logits):
+    """Decision boundary for one piece/channel: the midpoint of the widest
+    gap in the upper tail of the REFERENCE path's sorted logits. A trained
+    fixture separates peak mass from background by a wide margin, so the
+    boundary lands in that empty gap — where a threshold flip requires a
+    real path deviation, exactly as at a converged checkpoint's natural
+    0 threshold. Computed from the reference path only so the compared
+    path cannot influence the shared boundary."""
+    v = np.sort(np.asarray(ref_logits, np.float64).ravel())
+    tail = v[-int(len(v) * 0.12):]  # beats are at most ~7% of frames
+    gaps = np.diff(tail)
+    j = int(np.argmax(gaps))
+    return -0.5 * (tail[j] + tail[j + 1])
+
+
+def check_beat_level_kernel_parity():
+    """Kernel-vs-XLA parity measured in the unit the north star is
+    denominated in: postprocessed beat TIMES. The logit-level bound
+    (check_eval_logit_parity) cannot say whether bf16 kernel deviations
+    flip peaks near the decision threshold, so this runs full-size-model
+    logits through the entire postprocessing on both paths and scores the
+    kernel path's beats against the XLA path's with the same F-measure the
+    evaluation protocol uses (BASELINE.md's 0.001 target). Three legs
+    (VERDICT r4 #3):
+
+      minimal  16-piece suite (55-215 bpm, weak/noisy/double/jittered
+               peaks) through the minimal postprocessor, worst F
+      dbn      the same logits through the DbnDecoder (sigmoid
+               activations, batched Viterbi), worst F
+      bf16/f32 the KERNEL path at bfloat16 vs float32 compute on the same
+               pieces — the beat-level sensitivity of precision itself,
+               the predictor of real-checkpoint deviation
+
+    The model is _flagship_trained() (30 real optimizer steps), so logits
+    have the peaky structure of a trained checkpoint; after 30 steps the
+    peaks sit below a converged model's 0 threshold, so each piece/channel
+    is shifted by a boundary derived from the XLA path's own peak/
+    background gap (see _gate_boundary)."""
+    import jax.numpy as jnp
+
+    from beat_this_tpu.metrics import f_measure
+    from beat_this_tpu.postprocessing import Postprocessor
+
+    config, params, state, _ = _flagship_trained()
+    spect, specs = _gate_suite()
+
+    beat_k, down_k = _gate_logits(config, params, state, spect, True,
+                                  jnp.bfloat16)
+    beat_x, down_x = _gate_logits(config, params, state, spect, False,
+                                  jnp.bfloat16)
+    beat_f32, down_f32 = _gate_logits(config, params, state, spect, True,
+                                      jnp.float32)
+
+    post_min = Postprocessor("minimal", fps=50)
+    post_dbn = Postprocessor("dbn", fps=50)
+    out = {"n_pieces": len(specs)}
+    worst_min, worst_dbn, worst_prec = 1.0, 1.0, 1.0
+
+    # per-piece shared boundaries from the XLA path (minimal + dbn legs)
+    # and from the f32 kernel path (precision leg)
+    for i, (period, burst, noise, style) in enumerate(specs):
+        sb = _gate_boundary(beat_x[i])
+        sd = _gate_boundary(down_x[i])
+        bk, dk = post_min(beat_k[i] + sb, down_k[i] + sd)
+        bx, dx = post_min(beat_x[i] + sb, down_x[i] + sd)
+        n_expect = 1500 // period
+        assert len(bx) >= min(10, n_expect // 2), (
+            f"degenerate fixture piece {i} ({style}): {len(bx)} XLA peaks"
+        )
         f_beat = f_measure(np.asarray(bx), np.asarray(bk))
         f_down = f_measure(np.asarray(dx), np.asarray(dk)) if len(dx) else 1.0
-        out[f"piece{i}_f_beat"] = f_beat
-        out[f"piece{i}_n_beats"] = len(bx)
-        worst = min(worst, f_beat, f_down)
-    assert worst >= 0.999, f"beat-level kernel agreement {worst:.4f} < 0.999"
-    out["worst_f"] = worst
+        worst_min = min(worst_min, f_beat, f_down)
+        out[f"piece{i:02d}_f_min"] = round(min(f_beat, f_down), 4)
+
+        # precision leg: kernel bf16 vs kernel f32, f32-derived boundary
+        sb32 = _gate_boundary(beat_f32[i])
+        sd32 = _gate_boundary(down_f32[i])
+        b16, d16 = post_min(beat_k[i] + sb32, down_k[i] + sd32)
+        b32, d32 = post_min(beat_f32[i] + sb32, down_f32[i] + sd32)
+        fp_beat = f_measure(np.asarray(b32), np.asarray(b16))
+        fp_down = (f_measure(np.asarray(d32), np.asarray(d16))
+                   if len(d32) else 1.0)
+        worst_prec = min(worst_prec, fp_beat, fp_down)
+
+    # dbn leg: batched decode of all pieces on both paths (shared per-piece
+    # XLA boundaries)
+    sb_all = np.asarray([_gate_boundary(beat_x[i]) for i in range(len(specs))])
+    sd_all = np.asarray([_gate_boundary(down_x[i]) for i in range(len(specs))])
+    dbn_k = post_dbn(beat_k + sb_all[:, None], down_k + sd_all[:, None])
+    dbn_x = post_dbn(beat_x + sb_all[:, None], down_x + sd_all[:, None])
+    for i in range(len(specs)):
+        bx, bk = np.asarray(dbn_x[0][i]), np.asarray(dbn_k[0][i])
+        dx, dk = np.asarray(dbn_x[1][i]), np.asarray(dbn_k[1][i])
+        f_beat = f_measure(bx, bk) if len(bx) else 1.0
+        f_down = f_measure(dx, dk) if len(dx) else 1.0
+        worst_dbn = min(worst_dbn, f_beat, f_down)
+        out[f"piece{i:02d}_f_dbn"] = round(min(f_beat, f_down), 4)
+
+    out["worst_f"] = worst_min  # kept: the r4 artifact key
+    out["worst_f_minimal"] = worst_min
+    out["worst_f_dbn"] = worst_dbn
+    out["worst_f_bf16_vs_f32"] = worst_prec
+    assert worst_min >= 0.999, f"minimal-path agreement {worst_min:.4f}"
+    assert worst_dbn >= 0.999, f"dbn-path agreement {worst_dbn:.4f}"
+    assert worst_prec >= 0.98, f"bf16-vs-f32 agreement {worst_prec:.4f}"
     return out
 
 
