@@ -26,8 +26,9 @@ Whole-sequence (1536 x 1536) float32 score tiles replace the flash online-
 softmax recurrence: at these sizes K/V fit VMEM outright, so the two-pass
 max/sum is unnecessary, and the raised scoped-VMEM ceiling (the same story
 as ops/flash_attention._train_vmem_params) covers the transients. Key
-padding is an additive -1e5 mask row (one broadcast add) rather than an
-iota/compare/select pass, RoPE is applied to a head group's whole
+padding rides the score CONTRACTION itself — a ones column on q and the
+additive mask column on k make the MXU's K=33 dot emit pre-masked scores,
+so no (n, n) VPU mask pass exists at all. RoPE is applied to a head group's whole
 (n, ghd) q/k panels in one block-diagonal rswap dot with the softmax scale
 pre-folded into the q tables, and at eval the softmax row-sum rides the pv
 dot as a ones-column of v — the N=32 output pads to a 128-lane MXU tile
@@ -87,10 +88,23 @@ _MAX_HEADS_PER_GROUP = 4  # 4 x 32 = 128 lanes: one MXU tile of qkv columns
 # additive key-padding mask value. Correctness requires the worst REAL score
 # in a row to stay above _MASK_NEG + 126 (base-2 units) so a real column
 # always wins the row max and padded columns underflow to exactly 0 after
-# exp2(s - m); see the margin derivation at the maskrow construction in
-# fused_time_roformer. -1e5 leaves ~3 orders of magnitude of score headroom
-# beyond the extreme-scale contract.
-_MASK_NEG = -1e5
+# exp2(s - m); see the margin derivation at the mask-column construction in
+# fused_time_roformer. -98304 = -1.5 * 2**16 is exactly representable in
+# bfloat16 (the mask rides the score CONTRACTION as a k-panel column, so it
+# must survive the cast to the kernel dtype bit-exactly) and leaves ~3
+# orders of magnitude of score headroom beyond the extreme-scale contract.
+_MASK_NEG = -98304.0
+
+
+def _augment_qk(q, k, maskcol, ones_col):
+    """Fold the additive key-padding mask into the score contraction: a
+    ones column on q and the mask column on k make the MXU compute
+    `q . k^T + 1 * mask_j` directly (K=33 still occupies one pass of the
+    128-deep MXU contraction), eliminating the (n, n) VPU mask-add pass."""
+    return (
+        jnp.concatenate([q, ones_col], axis=1),
+        jnp.concatenate([k, maskcol], axis=1),
+    )
 
 
 def fused_time_available() -> bool:
@@ -127,16 +141,18 @@ def _kernel(x_ref, agamma_ref, wq_ref, wk_ref, wv_ref, wg_ref, gb_ref,
     k_r = rope_rotate(k_all, cosk_ref[0], sink_ref[0]).astype(x.dtype)
 
     ones_col = jnp.ones((n_pad, 1), x.dtype)
+    maskcol = mask_ref[...].astype(x.dtype) if n_pad > n else None
     head_outs = []
     for j in range(gh):
         hsl = slice(j * _HEAD_DIM, (j + 1) * _HEAD_DIM)
+        q_h, k_h = q_r[:, hsl], k_r[:, hsl]
+        if n_pad > n:  # key-padding mask rides the contraction (K=33)
+            q_h, k_h = _augment_qk(q_h, k_h, maskcol, ones_col)
         s = jax.lax.dot_general(
-            q_r[:, hsl], k_r[:, hsl],
+            q_h, k_h,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (n_pad, n_pad)
-        if n_pad > n:  # additive key-padding mask (cols beyond the length)
-            s = s + mask_ref[...]
+        )  # (n_pad, n_pad), masked columns already at _MASK_NEG
         # exact row max. A cheaper per-row norm BOUND |q| * max|k| was
         # tried and reverted: with large weight scales its slack exceeds
         # exp2's float32 underflow range, every probability flushes to
@@ -233,8 +249,9 @@ def _attn_fwd_head(q_r_all, k_r_all, v_all, j, h, seed_ref, rate, mask,
     indexes the head within the group (column slice); `h` is the
     model-global head index — the dropout salt, so the same bits regenerate
     in the backward regardless of grouping. Key padding arrives as the
-    caller's additive `mask` row (None when the padded and true lengths
-    agree). The softmax normalizer is NEVER applied
+    caller's additive `mask` COLUMN (None when the padded and true lengths
+    agree) and is folded into the score contraction — see _augment_qk.
+    The softmax normalizer is NEVER applied
     to the (n_pad, n_pad) probabilities — it rides as a per-row scaling on
     the (n_pad, 32) output (and, in the backward, on the incoming
     cotangent), saving a full score-sized buffer and divide per head.
@@ -251,13 +268,16 @@ def _attn_fwd_head(q_r_all, k_r_all, v_all, j, h, seed_ref, rate, mask,
     k_r = k_r32.astype(dtype)
     v = v_all[:, hsl]
     q_s = (q_r * (scale * LOG2E)).astype(dtype)
+    k_d = k_r
+    if mask is not None:  # mask column rides the contraction (K=33)
+        q_s, k_d = _augment_qk(
+            q_s, k_d, mask.astype(dtype), jnp.ones((q_s.shape[0], 1), dtype)
+        )
     s = jax.lax.dot_general(
-        q_s, k_r,
+        q_s, k_d,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    if mask is not None:
-        s = s + mask
     # exact row max (a norm-bound surrogate NaNs at large weight scales —
     # see the eval kernel); any per-row constant >= the true max leaves
     # o_h and all gradients identical, which the backward relies on
@@ -567,7 +587,7 @@ def _attn_train_operands(x, attn_params, rope_cos, rope_sin, heads, gh,
                     (1, gh))
     cosp = jnp.pad(cosf, ((0, n_pad - n), (0, 0)), constant_values=1.0)[None]
     sinp = jnp.pad(sinf, ((0, n_pad - n), (0, 0)), constant_values=0.0)[None]
-    maskp = jnp.zeros((1, n_pad), jnp.float32).at[:, n:].set(_MASK_NEG)
+    maskp = jnp.zeros((n_pad, 1), jnp.float32).at[n:, :].set(_MASK_NEG)
     ops = (
         seed,
         xp,
@@ -601,7 +621,7 @@ def _attn_train_specs(n_pad, c, gh, kwargs, interpret):
         pl.BlockSpec((ghd, c), lambda i, g: (g, 0), **kwargs),
         pl.BlockSpec((1, n_pad, ghd), lambda i, g: (0, 0, 0), **kwargs),
         pl.BlockSpec((1, n_pad, ghd), lambda i, g: (0, 0, 0), **kwargs),
-        pl.BlockSpec((1, n_pad), lambda i, g: (0, 0), **kwargs),
+        pl.BlockSpec((n_pad, 1), lambda i, g: (0, 0), **kwargs),
     ]
 
 
@@ -847,17 +867,19 @@ def fused_time_roformer(
     qscale = _HEAD_DIM**-0.5 * LOG2E
     cosq = cosp * qscale
     sinq = sinp * qscale
-    # additive key-padding mask row: -1e5 puts exp2(s - m) at exactly 0 for
-    # padded columns (s - m stays far above float32's 2**-149 underflow for
-    # any real score, far below it for masked ones). Margin derivation: the
-    # mask stays correct as long as some real score exceeds -1e5 + (-126)
-    # (else a padded column would win the row max). Real scores are bounded
-    # by |q_i||k_j| * scale * LOG2E; padded keys project to exactly 0, so a
+    # additive key-padding mask, folded into the score CONTRACTION as one
+    # extra k column (matched by a ones column on q — see _augment_qk):
+    # _MASK_NEG puts exp2(s - m) at exactly 0 for padded columns (s - m
+    # stays far above float32's 2**-149 underflow for any real score, far
+    # below it for masked ones). Margin derivation: the mask stays correct
+    # as long as some real score exceeds _MASK_NEG + (-126) (else a padded
+    # column would win the row max). Real scores are bounded by
+    # |q_i||k_j| * scale * LOG2E; padded keys project to exactly 0, so a
     # row's worst real score is >= -max|q||k|·scale·LOG2E — for that to
-    # reach -99874, |q||k| would have to exceed ~3.9e5 at head_dim 32,
+    # reach -98178, |q||k| would have to exceed ~3.8e5 at head_dim 32,
     # i.e. activation·weight norms ~625x beyond anything the extreme-scale
     # contract (wscale=25, test_extreme_score_magnitudes) exercises.
-    maskrow = jnp.zeros((1, n_pad), jnp.float32).at[:, n:].set(_MASK_NEG)
+    maskcol = jnp.zeros((n_pad, 1), jnp.float32).at[n:, :].set(_MASK_NEG)
 
     from beat_this_tpu.ops.flash_attention import vmem_params
 
@@ -890,7 +912,7 @@ def fused_time_roformer(
             pl.BlockSpec((1, n_pad, ghd), lambda i, g: (0, 0, 0), **kwargs),
             pl.BlockSpec((1, n_pad, ghd), lambda i, g: (0, 0, 0), **kwargs),
             pl.BlockSpec((1, n_pad, ghd), lambda i, g: (0, 0, 0), **kwargs),
-            pl.BlockSpec((1, n_pad), lambda i, g: (0, 0), **kwargs),
+            pl.BlockSpec((n_pad, 1), lambda i, g: (0, 0), **kwargs),
         ],
         out_specs=pl.BlockSpec((1, n_pad, c), lambda i, g: (i, 0, 0), **kwargs),
         out_shape=jax.ShapeDtypeStruct((items, n_pad, c), x.dtype),
@@ -918,6 +940,6 @@ def fused_time_roformer(
         sinq,
         cosp,
         sinp,
-        maskrow,
+        maskcol,
     )
     return out[:, :n, :]

@@ -23,6 +23,14 @@ Variants (eval-shaped, per head):
   noexp     p = s - m, no transcendental             (delta = exp2 cost)
   nosmax    p = s cast only                          (delta = whole softmax)
   b16exp    max over f32 s, exp2 computed in bfloat16 (half VPU traffic?)
+  kfold     mask folded into the contraction (ones col on q, mask col on
+            k, K=33) — the fused_time r5 recipe; delta vs full = the
+            (n, n) mask-add pass
+  b16s      score dot emits BFLOAT16 tiles (f32 MXU accumulation, rounded
+            once): halves every score-sized VMEM byte (write + max read +
+            exp2 read). The r5 candidate if VMEM traffic, not the VPU,
+            is what actually bounds these kernels.
+  b16sfold  b16s + kfold combined (the full r5 eval recipe candidate)
 
 Train-shaped extras (separate row sum, as _attn_fwd_head needs l pre-drop):
   tfull     full + f32 row-sum on the VPU (the current training recipe)
@@ -45,8 +53,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scan", type=int, default=8)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--scan", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -61,21 +69,42 @@ def main():
     n_pad = 1536
 
     # ---------------- attention-shaped variant kernels -----------------
-    def attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, gh, variant):
+    def attn_kernel(q_ref, k_ref, v_ref, mask_ref, maskcol_ref, o_ref, *,
+                    gh, variant):
         q = q_ref[0]  # (n_pad, gh*32) bf16, pre-scaled
         k = k_ref[0]
         v = v_ref[0]
         ones_col = jnp.ones((n_pad, 1), jnp.bfloat16)
+        folded = variant in ("kfold", "b16s", "b16sfold")
         outs = []
         for j in range(gh):
             hsl = slice(j * 32, (j + 1) * 32)
-            s = jax.lax.dot_general(
-                q[:, hsl], k[:, hsl],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            q_h, k_h = q[:, hsl], k[:, hsl]
+            if folded:  # mask rides the contraction (K=33)
+                q_h = jnp.concatenate([q_h, ones_col], axis=1)
+                k_h = jnp.concatenate(
+                    [k_h, maskcol_ref[...].astype(jnp.bfloat16)], axis=1
+                )
+            sdtype = (
+                jnp.bfloat16 if variant in ("b16s", "b16sfold")
+                else jnp.float32
             )
-            s = s + mask_ref[...]
-            if variant == "nosmax":
+            s = jax.lax.dot_general(
+                q_h, k_h,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=sdtype,
+            )
+            if not folded:
+                s = s + mask_ref[...]
+            if variant in ("b16s", "b16sfold"):
+                m = jnp.max(s, axis=1, keepdims=True)
+                p = jnp.exp2(
+                    s.astype(jnp.float32) - m.astype(jnp.float32)
+                ).astype(jnp.bfloat16)
+            elif variant == "kfold":
+                m = jnp.max(s, axis=1, keepdims=True)
+                p = jnp.exp2(s - m).astype(jnp.bfloat16)
+            elif variant == "nosmax":
                 p = s.astype(jnp.bfloat16)
             elif variant == "nomax":
                 p = jnp.exp2(s).astype(jnp.bfloat16)
@@ -127,6 +156,7 @@ def main():
                 pl.BlockSpec((1, n_pad, ghd), lambda i: (i, 0, 0), **kw),
                 pl.BlockSpec((1, n_pad, ghd), lambda i: (i, 0, 0), **kw),
                 pl.BlockSpec((1, n_pad), lambda i: (0, 0), **kw),
+                pl.BlockSpec((n_pad, 1), lambda i: (0, 0), **kw),
             ],
             out_specs=pl.BlockSpec((1, n_pad, ghd), lambda i: (i, 0, 0), **kw),
             out_shape=jax.ShapeDtypeStruct((items, n_pad, ghd), jnp.bfloat16),
@@ -190,13 +220,15 @@ def main():
         v = jnp.asarray(rng.randn(args.scan, items, n_pad, ghd) * 0.3,
                         jnp.bfloat16)
         mask = jnp.zeros((1, n_pad), jnp.float32).at[:, 1500:].set(-1e5)
+        maskcol = jnp.zeros((n_pad, 1), jnp.float32).at[1500:, :].set(-98304.0)
         variants = ["nosmax", "nomax", "noexp", "b16exp", "full",
+                    "kfold", "b16s", "b16sfold",
                     "tfull", "tmxusum", "tb16sum"]
         print(f"\n=== {name}: {items} programs, {gh} heads each ===")
         for var in variants:
             f = build_attn(items, gh, var)
             jitted = jax.jit(lambda q, k, v: jax.lax.scan(
-                lambda _, xs: (0, jnp.sum(f(xs[0], xs[1], xs[2], mask),
+                lambda _, xs: (0, jnp.sum(f(xs[0], xs[1], xs[2], mask, maskcol),
                                           dtype=jnp.float32)),
                 0, (q, k, v))[1])
             try:
@@ -216,24 +248,30 @@ def main():
 
     # standalone VPU ceilings over the SAME element count as one main-layer
     # batch (32 programs x 4 heads x 1536^2 = 302M elements)
-    rows = 32 * 4 * n_pad  # (rows, n_pad) = same element count
-    x = jnp.asarray(rng.rand(args.scan, rows, n_pad) * 2 - 1, jnp.float32)
+    # (rows, n_pad) sized to fit HBM across the scan copies: 24 * n_pad
+    # rows x 4 scan steps x 4 B = 906 MB; throughput extrapolates linearly
+    sascan = 4
+    rows = 24 * n_pad
+    x = jnp.asarray(rng.rand(sascan, rows, n_pad) * 2 - 1, jnp.float32)
     print(f"\n=== standalone VPU passes over ({rows}, {n_pad}) f32 ===")
     standalone = {}
+    sa_nel = rows * n_pad / 1e6  # Melements per scan step
     for op in ["exp2", "rowmax", "rowsum"]:
         f = build_vpu(rows, op, 128)
         jitted = jax.jit(lambda x: jax.lax.scan(
             lambda _, xx: (0, jnp.sum(f(xx), dtype=jnp.float32)), 0, x)[1])
         try:
-            ms = timed(jitted, [x])
-            standalone[op] = ms
-            nel = rows * n_pad / 1e6
-            print(f"  {op:7s}: {ms:8.3f} ms ({nel / ms:.0f} Mel/ms)")
+            # timed() divides by args.scan; rescale to this leg's scan count
+            ms = timed(jitted, [x]) * args.scan / sascan
+            standalone[op] = sa_nel / ms  # Mel/ms throughput
+            print(f"  {op:7s}: {ms:8.3f} ms ({sa_nel / ms:.0f} Mel/ms)")
         except Exception as e:  # noqa: BLE001
             print(f"  {op:7s}: FAIL {type(e).__name__}: {str(e)[:100]}")
 
-    # ratio report for the main geometry
-    name = geoms[0][0]
+    # ratio report for the main geometry: in-situ marginal THROUGHPUT of
+    # each pass (score elements / marginal ms) vs the standalone ceiling
+    name, items, gh = geoms[0]
+    nel = items * gh * n_pad * n_pad / 1e6
 
     def delta(a, b):
         if (name, a) in results and (name, b) in results:
@@ -246,11 +284,13 @@ def main():
         ("exp2 pass", delta("nomax", "nosmax"), standalone.get("exp2")),
         ("sum pass (train)", delta("tfull", "full"), standalone.get("rowsum")),
     ]
-    for label, insitu, alone in pairs:
-        if insitu is not None and alone:
-            print(f"  {label:18s}: in-situ {insitu:7.3f} ms, standalone "
-                  f"{alone:7.3f} ms -> {100 * alone / max(insitu, 1e-9):5.1f}%"
-                  f" of standalone VPU throughput")
+    for label, insitu_ms, ceil_tput in pairs:
+        if insitu_ms is not None and ceil_tput:
+            tput = nel / max(insitu_ms, 1e-9)
+            print(f"  {label:18s}: in-situ {insitu_ms:7.3f} ms "
+                  f"({tput:.0f} Mel/ms) vs standalone {ceil_tput:.0f} Mel/ms"
+                  f" -> {100 * tput / ceil_tput:5.1f}% of standalone VPU"
+                  f" throughput")
 
 
 if __name__ == "__main__":
