@@ -603,7 +603,10 @@ def _pad_wave_for_mel(signal: np.ndarray, padded_len: int) -> np.ndarray:
     out[:n] = signal
     reflect = min(512, n - 1, padded_len - n)
     if reflect > 0:
-        out[n : n + reflect] = signal[n - 2 : n - 2 - reflect : -1]
+        # stop index of the reversed slice; -1 must mean "through index 0",
+        # not numpy's "from the end" (n <= 513 hits this)
+        stop = n - 2 - reflect
+        out[n : n + reflect] = signal[n - 2 : (stop if stop >= 0 else None) : -1]
     return out
 
 
@@ -686,14 +689,48 @@ class BatchedFile2File(File2File):
         return signal.astype(np.float32)
 
     def _batched_spects(self, signals):
+        """One log-mel dispatch for the whole group, packed FLAT.
+
+        The host->device link is the mel stage's bottleneck (measured on the
+        v5e relay: 50 MB/s upload vs 47 ms of DFT-conv compute for a 32-file
+        group, tools/profile_mel_stage.py), so bytes uploaded ~ audio
+        seconds is the figure of merit. Stacking every file to the group
+        max uploads max_len * n_files; instead each file gets its own
+        hop-aligned slot in ONE 1-D signal and the conv runs once over the
+        concatenation.
+
+        Parity with the per-file path is exact by construction: a frame at
+        global position f reads flat[f*441 - 512 : f*441 + 512], so with
+        file i at a hop-multiple start `st` and slot length >= n + 1024,
+        its frames see [reflect head | signal | reflect tail | zeros] —
+        samplewise identical to what `log_mel_spectrogram` pads for a lone
+        signal. The reflect head (the first 512 samples the center-mode
+        STFT mirrors, torchaudio semantics) is written into the previous
+        slot's zero tail; file 0's comes from the mel's own edge pad."""
+        hop = 441
+        align = hop * 4  # slot granularity: <=0.1 s padding waste per file
+        slots, starts = [], []
+        pos = 0
+        for s in signals:
+            length = math.ceil((len(s) + 1024) / align) * align
+            slots.append(_pad_wave_for_mel(s, length))
+            starts.append(pos)
+            pos += length
         bucket = self._MEL_BUCKET_SAMPLES
-        max_len = max(len(s) for s in signals)
-        padded_len = max(1, math.ceil(max_len / bucket)) * bucket
-        batch = np.stack(
-            [_pad_wave_for_mel(s, padded_len) for s in signals]
-        )
-        mel = np.asarray(log_mel_spectrogram(jnp.asarray(batch), LogMelConfig()))
-        return [mel[i, : num_frames(len(s))] for i, s in enumerate(signals)]
+        total = max(1, math.ceil(pos / bucket)) * bucket
+        flat = np.zeros(total, np.float32)
+        for st, slot in zip(starts, slots):
+            flat[st : st + len(slot)] = slot
+            if st:
+                # slot[1:513] reversed == what reflect padding mirrors at
+                # this file's left edge (covers tiny files too: the slot
+                # already carries signal + reflect tail + zeros)
+                flat[st - 512 : st] = slot[1:513][::-1]
+        mel = np.asarray(log_mel_spectrogram(jnp.asarray(flat), LogMelConfig()))
+        return [
+            mel[st // hop : st // hop + num_frames(len(s))]
+            for st, s in zip(starts, signals)
+        ]
 
     def process_many(self, tasks, on_error=None, after_each=None):
         """tasks: iterable of (audio_path, output_path). Failures in loading

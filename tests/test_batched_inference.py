@@ -122,3 +122,32 @@ def test_process_many_batches_postprocessing(model, tmp_path, monkeypatch):
             [float(line.split("\t")[0]) for line in text.splitlines()]
         )
         np.testing.assert_allclose(written, np.round(beats, 6), atol=1e-6)
+
+
+def test_batched_spects_matches_per_file():
+    """The packed-flat group mel must be samplewise identical to the
+    per-file `signal2spect` mel for every length class: sub-second, odd
+    lengths, exact hop multiples (441*k and +-1), and a file shorter than
+    the 512-sample reflect window."""
+    import beat_this_tpu.inference as inf
+
+    f2f = inf.BatchedFile2File.__new__(inf.BatchedFile2File)
+    rng = np.random.RandomState(7)
+    lengths = [300, 600, 441 * 50, 441 * 50 - 1, 441 * 50 + 1, 22050, 70007]
+    signals = [0.3 * rng.randn(n).astype(np.float32) for n in lengths]
+
+    batched = f2f._batched_spects(signals)
+
+    from beat_this_tpu.ops.mel import LogMelConfig, log_mel_spectrogram, num_frames
+
+    bucket = inf.Audio2Frames._MEL_BUCKET_SAMPLES
+    for s, got in zip(signals, batched):
+        import math
+
+        padded = inf._pad_wave_for_mel(
+            s, max(1, math.ceil(len(s) / bucket)) * bucket
+        )
+        want = np.asarray(log_mel_spectrogram(padded, LogMelConfig()))
+        want = want[: num_frames(len(s))]
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want)

@@ -12,10 +12,12 @@ numbers two ways:
    at a time. Variant deltas = the marginal cost of each softmax pass in
    the real VMEM/pipelining context.
 
-2. **Standalone VPU ceilings**: minimal Pallas kernels running JUST exp2 /
+2. **Standalone pass kernels**: minimal Pallas kernels running JUST exp2 /
    just a row max / just a row sum over the same number of (n, n) float32
-   elements, VMEM-resident. In-situ delta vs standalone time = what
-   fraction of achievable VPU throughput the kernel already extracts.
+   elements. NOTE (measured): these stream their inputs from HBM, so they
+   bound the passes' cost-if-unfused, not a VPU ceiling — and they come
+   out ~300x slower per element than the fused in-situ passes, which is
+   itself the finding (see the floor-analysis comment at the bottom).
 
 Variants (eval-shaped, per head):
   full      score dot + mask + row max + exp2 + pv-with-ones-column dot
@@ -268,29 +270,46 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"  {op:7s}: FAIL {type(e).__name__}: {str(e)[:100]}")
 
-    # ratio report for the main geometry: in-situ marginal THROUGHPUT of
-    # each pass (score elements / marginal ms) vs the standalone ceiling
-    name, items, gh = geoms[0]
-    nel = items * gh * n_pad * n_pad / 1e6
-
-    def delta(a, b):
-        if (name, a) in results and (name, b) in results:
-            return results[(name, a)] - results[(name, b)]
-        return None
-
-    print("\n=== floor analysis (main-layer geometry) ===")
-    pairs = [
-        ("max pass", delta("full", "nomax"), standalone.get("rowmax")),
-        ("exp2 pass", delta("nomax", "nosmax"), standalone.get("exp2")),
-        ("sum pass (train)", delta("tfull", "full"), standalone.get("rowsum")),
-    ]
-    for label, insitu_ms, ceil_tput in pairs:
-        if insitu_ms is not None and ceil_tput:
-            tput = nel / max(insitu_ms, 1e-9)
-            print(f"  {label:18s}: in-situ {insitu_ms:7.3f} ms "
-                  f"({tput:.0f} Mel/ms) vs standalone {ceil_tput:.0f} Mel/ms"
-                  f" -> {100 * tput / ceil_tput:5.1f}% of standalone VPU"
-                  f" throughput")
+    # Floor analysis. Two findings replace round 4's "irreducible VPU
+    # softmax" narrative (measured on the v5e, 2026-08, see DESIGN.md):
+    #
+    # 1. The whole softmax is a few PERCENT of kernel time: ablating max +
+    #    exp2 entirely (nosmax) recovers ~4% at main-layer geometry and ~5%
+    #    at frontend geometry. Per-pass deltas (full-nomax etc.) sit at or
+    #    below run-to-run noise — some come out negative — so only the
+    #    whole-softmax share is quoted.
+    # 2. The standalone legs above stream their score-sized arrays from
+    #    HBM and run ~300x SLOWER per element than the same passes fused
+    #    in-kernel on VMEM-resident tiles. That inversion is the point:
+    #    the in-situ passes ride the MXU dots' pipeline bubbles for nearly
+    #    free, so the kernels are bound by the dots (head_dim 32 fills 1/4
+    #    of the MXU's contraction depth) plus score-tile VMEM traffic —
+    #    not by VPU arithmetic. (The b16s/b16sfold variants that would
+    #    halve score-tile bytes fail Mosaic's verifier; compiler-blocked.)
+    print("\n=== floor analysis ===")
+    for name, items, gh in geoms:
+        base = results.get((name, "nosmax"))
+        full = results.get((name, "full"))
+        tfull = results.get((name, "tfull"))
+        if base and full:
+            print(f"  {name}: whole softmax = {full - base:.3f} ms of "
+                  f"{full:.3f} ms ({100 * (full - base) / full:.1f}% of the "
+                  f"eval kernel)")
+        if base and tfull:
+            print(f"  {name}: softmax+sum    = {tfull - base:.3f} ms of "
+                  f"{tfull:.3f} ms ({100 * (tfull - base) / tfull:.1f}% of "
+                  f"the train kernel)")
+    if standalone:
+        insitu = {}
+        for name, items, gh in geoms:
+            base, full = results.get((name, "nosmax")), results.get((name, "full"))
+            if base and full and full > base:
+                insitu[name] = (items * gh * n_pad * n_pad / 1e6) / (full - base)
+        for name, tput in insitu.items():
+            ratio = tput / max(standalone.get("exp2", 1e-9), 1e-9)
+            print(f"  in-situ passes at {name}: {tput:.0f} Mel/ms = "
+                  f"{ratio:.0f}x the HBM-streaming standalone kernel -> "
+                  f"VPU arithmetic is not the binding constraint")
 
 
 if __name__ == "__main__":

@@ -12,9 +12,13 @@ README measurement (11 min of audio, mixed lengths), runs the exact
   compute  the DFT-conv + mel matmul + log1p, data already on device
   download device->host transfer of the full padded mel
 
-plus the end-to-end `_batched_spects` call itself, and a packed-flat
-variant (each file padded to its own bucket count, concatenated along time,
-ONE (1, total) conv) for comparison.
+plus the end-to-end stacked recipe, a packed-flat prototype (each file
+padded to its own bucket count, concatenated along time, ONE (1, total)
+conv), and the production `BatchedFile2File._batched_spects` (packed flat
+at 4-hop slot granularity since round 5 — the measurement below is WHY:
+upload bytes are the whole stage, 50 MB/s through the relay vs 47 ms of
+DFT-conv compute, so stacking to the group max pays ~2x the bytes of the
+actual audio).
 
 Run on the real TPU: python tools/profile_mel_stage.py
 """
@@ -147,6 +151,24 @@ def main():
         b = m_flat[f0 : f0 + nf]
         d = np.max(np.abs(a - b))
         print(f"  file {i}: max |batched - flat| over {nf} frames = {d:.2e}")
+
+    # ---- the production recipe (BatchedFile2File._batched_spects) ----
+    from beat_this_tpu.inference import BatchedFile2File
+
+    f2f = BatchedFile2File.__new__(BatchedFile2File)  # no model needed
+    prod_bytes = 4 * sum(
+        math.ceil((len(s) + 1024) / (441 * 4)) * 441 * 4 for s in sigs
+    )
+    print(f"\nproduction _batched_spects: ~{prod_bytes / 1e6:.0f} MB up "
+          f"({prod_bytes / batch.nbytes:.2f}x of stacked)")
+    t_prod = reps(lambda: f2f._batched_spects(sigs))
+    print(f"  end-to-end     : {t_prod * 1000:8.0f} ms")
+    m_prod = f2f._batched_spects(sigs)
+    worst = max(
+        float(np.max(np.abs(out_np[i, : len(m)] - m)))
+        for i, m in enumerate(m_prod)
+    )
+    print(f"  max |stacked - production| over all files = {worst:.2e}")
 
 
 if __name__ == "__main__":
