@@ -97,6 +97,13 @@ def _gate_suite():
         if style == "jitter":
             frames = np.clip(frames + rng.randint(-1, 2, len(frames)), 0, t - 1)
         spect[i, frames, :] += burst
+        # every 4th burst carries the fixture's bass-band downbeat
+        # signature (see _flagship_trained) so the downbeat head has real
+        # evidence and the DBN's bar-phase decision is decisive — without
+        # it the phase is a knife-edge tie that bf16 deviations flip
+        # (seen live: beat F 1.0 on all 16 pieces, downbeat F 0.0 at 56
+        # bpm from a pure phase rotation)
+        spect[i, frames[::4], :32] += burst * 0.7
         if style == "double":  # adjacent peak pairs stress deduplication
             spect[i, np.minimum(frames + 1, t - 1), :] += burst * 0.9
     return spect, specs
@@ -131,16 +138,23 @@ def _gate_logits(config, params, state, x, use_kernels, dtype):
     return np.concatenate(beats), np.concatenate(downs)
 
 
-def _gate_boundary(ref_logits):
+def _gate_boundary(ref_logits, lo, hi):
     """Decision boundary for one piece/channel: the midpoint of the widest
-    gap in the upper tail of the REFERENCE path's sorted logits. A trained
-    fixture separates peak mass from background by a wide margin, so the
-    boundary lands in that empty gap — where a threshold flip requires a
-    real path deviation, exactly as at a converged checkpoint's natural
-    0 threshold. Computed from the reference path only so the compared
-    path cannot influence the shared boundary."""
+    gap among the REFERENCE path's sorted logits, restricted to boundaries
+    that keep between `lo` and `hi` frames above. A trained fixture
+    separates peak mass from background by a wide margin, so the boundary
+    lands in that empty gap — where a threshold flip requires a real path
+    deviation, exactly as at a converged checkpoint's natural 0 threshold.
+    The rank window is what makes this robust on pieces far from the
+    fixture's training tempo, whose smooth logit tails would otherwise put
+    the widest gap ABOVE the peak mass (a single outlier frame over the
+    threshold — seen live at 214 bpm). Computed from the reference path
+    only so the compared path cannot influence the shared boundary."""
     v = np.sort(np.asarray(ref_logits, np.float64).ravel())
-    tail = v[-int(len(v) * 0.12):]  # beats are at most ~7% of frames
+    lo = max(2, int(lo))
+    hi = min(len(v) - 1, max(int(hi), lo + 1))
+    # k frames sit above a boundary placed between v[-(k+1)] and v[-k]
+    tail = v[len(v) - hi - 1 : len(v) - lo + 1]
     gaps = np.diff(tail)
     j = int(np.argmax(gaps))
     return -0.5 * (tail[j] + tail[j + 1])
@@ -192,12 +206,12 @@ def check_beat_level_kernel_parity():
     # per-piece shared boundaries from the XLA path (minimal + dbn legs)
     # and from the f32 kernel path (precision leg)
     for i, (period, burst, noise, style) in enumerate(specs):
-        sb = _gate_boundary(beat_x[i])
-        sd = _gate_boundary(down_x[i])
+        n_expect = 1500 // period
+        sb = _gate_boundary(beat_x[i], n_expect // 2, n_expect * 3)
+        sd = _gate_boundary(down_x[i], 2, n_expect * 3)
         bk, dk = post_min(beat_k[i] + sb, down_k[i] + sd)
         bx, dx = post_min(beat_x[i] + sb, down_x[i] + sd)
-        n_expect = 1500 // period
-        assert len(bx) >= min(10, n_expect // 2), (
+        assert len(bx) >= min(10, n_expect // 4), (
             f"degenerate fixture piece {i} ({style}): {len(bx)} XLA peaks"
         )
         f_beat = f_measure(np.asarray(bx), np.asarray(bk))
@@ -206,8 +220,8 @@ def check_beat_level_kernel_parity():
         out[f"piece{i:02d}_f_min"] = round(min(f_beat, f_down), 4)
 
         # precision leg: kernel bf16 vs kernel f32, f32-derived boundary
-        sb32 = _gate_boundary(beat_f32[i])
-        sd32 = _gate_boundary(down_f32[i])
+        sb32 = _gate_boundary(beat_f32[i], n_expect // 2, n_expect * 3)
+        sd32 = _gate_boundary(down_f32[i], 2, n_expect * 3)
         b16, d16 = post_min(beat_k[i] + sb32, down_k[i] + sd32)
         b32, d32 = post_min(beat_f32[i] + sb32, down_f32[i] + sd32)
         fp_beat = f_measure(np.asarray(b32), np.asarray(b16))
@@ -217,8 +231,14 @@ def check_beat_level_kernel_parity():
 
     # dbn leg: batched decode of all pieces on both paths (shared per-piece
     # XLA boundaries)
-    sb_all = np.asarray([_gate_boundary(beat_x[i]) for i in range(len(specs))])
-    sd_all = np.asarray([_gate_boundary(down_x[i]) for i in range(len(specs))])
+    sb_all = np.asarray([
+        _gate_boundary(beat_x[i], (1500 // p) // 2, (1500 // p) * 3)
+        for i, (p, _, _, _) in enumerate(specs)
+    ])
+    sd_all = np.asarray([
+        _gate_boundary(down_x[i], 2, (1500 // p) * 3)
+        for i, (p, _, _, _) in enumerate(specs)
+    ])
     dbn_k = post_dbn(beat_k + sb_all[:, None], down_k + sd_all[:, None])
     dbn_x = post_dbn(beat_x + sb_all[:, None], down_x + sd_all[:, None])
     for i in range(len(specs)):
@@ -568,6 +588,12 @@ def _flagship_trained():
         for m in range(micro):
             beats = np.arange(phase[a, m], t, 25)
             spect[a, m, beats, :] += 6.0
+            # downbeats are marked by a LOCAL spectral feature (bass-band
+            # emphasis, a kick's signature) rather than being identical to
+            # the other bursts — otherwise the downbeat head can only learn
+            # p=0.25 on every burst and downstream bar-phase decisions
+            # (the DBN leg of the beat-level gate) are coin flips
+            spect[a, m, beats[::4], :32] += 4.0
             truth_beat[a, m, beats] = 1.0
             truth_down[a, m, beats[::4]] = 1.0
     batch = {
