@@ -610,6 +610,25 @@ def _pad_wave_for_mel(signal: np.ndarray, padded_len: int) -> np.ndarray:
     return out
 
 
+def _as_pcm16_if_exact(x: np.ndarray) -> np.ndarray:
+    """Return `x` as int16 PCM when every sample is exactly representable
+    (true for anything decoded from a 16-bit wav and then only zero-padded
+    or copied), else `x` unchanged.
+
+    `log_mel_spectrogram` undoes the scale on device bit-exactly, so this
+    halves the bytes shipped over the host->device link — the mel stage's
+    measured bottleneck on a relay-attached TPU (tools/profile_mel_stage.py).
+    Resampled or float-source audio is not integral at PCM scale and falls
+    through to the f32 upload."""
+    scaled = x.astype(np.float32) * np.float32(32768.0)
+    rounded = np.round(scaled)
+    if np.abs(rounded).max(initial=0.0) > 32767.0 or not np.array_equal(
+        rounded, scaled
+    ):
+        return x
+    return rounded.astype(np.int16)
+
+
 class Audio2Frames(Spect2Frames):
     """Framewise logits from an audio waveform at any sample rate."""
 
@@ -630,7 +649,9 @@ class Audio2Frames(Spect2Frames):
         padded = _pad_wave_for_mel(
             signal.astype(np.float32), max(1, math.ceil(n / bucket)) * bucket
         )
-        spect = log_mel_spectrogram(jnp.asarray(padded), LogMelConfig())
+        spect = log_mel_spectrogram(
+            jnp.asarray(_as_pcm16_if_exact(padded)), LogMelConfig()
+        )
         return np.asarray(spect)[:frames]
 
     def __call__(self, signal, sr):
@@ -726,7 +747,11 @@ class BatchedFile2File(File2File):
                 # this file's left edge (covers tiny files too: the slot
                 # already carries signal + reflect tail + zeros)
                 flat[st - 512 : st] = slot[1:513][::-1]
-        mel = np.asarray(log_mel_spectrogram(jnp.asarray(flat), LogMelConfig()))
+        mel = np.asarray(
+            log_mel_spectrogram(
+                jnp.asarray(_as_pcm16_if_exact(flat)), LogMelConfig()
+            )
+        )
         return [
             mel[st // hop : st // hop + num_frames(len(s))]
             for st, s in zip(starts, signals)

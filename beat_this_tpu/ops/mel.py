@@ -115,8 +115,9 @@ def log_mel_spectrogram(
     """Compute a log-mel spectrogram on device.
 
     Args:
-        waveform: float32 array of shape (num_samples,) or (batch, num_samples)
-            at `config.sample_rate`.
+        waveform: float32 (or int16 PCM, scaled by 1/32768 on device) array
+            of shape (num_samples,) or (batch, num_samples) at
+            `config.sample_rate`.
     Returns:
         (frames, n_mels) or (batch, frames, n_mels) float32 log-mel values,
         frames = num_samples // hop_length + 1.
@@ -126,6 +127,14 @@ def log_mel_spectrogram(
     if squeeze:
         waveform = waveform[None]
     x = waveform.astype(jnp.float32)
+    if waveform.dtype == jnp.int16:
+        # 16-bit PCM convention. The int16->f32 cast and the power-of-two
+        # scale are both exact, so callers whose samples are exactly
+        # representable as PCM (any 16-bit wav) can upload HALF the bytes
+        # over the host->device link with bit-identical results vs an f32
+        # upload — the link is the mel stage's bottleneck on a relay-attached
+        # TPU (tools/profile_mel_stage.py).
+        x = x * jnp.float32(1.0 / 32768.0)
     pad = c.n_fft // 2
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
     # framing + window + rDFT as one strided conv on the MXU

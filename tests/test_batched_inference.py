@@ -151,3 +151,43 @@ def test_batched_spects_matches_per_file():
         want = want[: num_frames(len(s))]
         assert got.shape == want.shape
         np.testing.assert_array_equal(got, want)
+
+
+def test_pcm16_upload_is_bit_exact():
+    """16-bit-PCM-exact signals ride the halved int16 upload and must
+    produce bit-identical mels to the f32 upload (the device undoes the
+    power-of-two scale exactly); non-representable signals fall through."""
+    import beat_this_tpu.inference as inf
+    from beat_this_tpu.ops.mel import LogMelConfig, log_mel_spectrogram, num_frames
+
+    rng = np.random.RandomState(21)
+    # exactly what a 16-bit wav decode produces: k / 32768
+    pcm = [
+        (rng.randint(-32768, 32768, n).astype(np.float32) / 32768.0)
+        for n in (400, 22050, 441 * 30 + 7)
+    ]
+    converted = inf._as_pcm16_if_exact(pcm[1])
+    assert converted.dtype == np.int16
+
+    # float-valued (e.g. resampled) audio must pass through unchanged
+    fl = 0.3 * rng.randn(5000).astype(np.float32)
+    assert inf._as_pcm16_if_exact(fl) is fl
+    # full-scale edge: +32767/32768 representable, anything above is not
+    edge = np.float32(32767.0 / 32768.0) * np.ones(16, np.float32)
+    assert inf._as_pcm16_if_exact(edge).dtype == np.int16
+    over = np.float32(1.0001) * np.ones(16, np.float32)
+    assert inf._as_pcm16_if_exact(over) is over
+
+    f2f = inf.BatchedFile2File.__new__(inf.BatchedFile2File)
+    got = f2f._batched_spects(pcm)
+    import math
+
+    bucket = inf.Audio2Frames._MEL_BUCKET_SAMPLES
+    for s, g in zip(pcm, got):
+        padded = inf._pad_wave_for_mel(
+            s, max(1, math.ceil(len(s) / bucket)) * bucket
+        )
+        want = np.asarray(
+            log_mel_spectrogram(padded.astype(np.float32), LogMelConfig())
+        )[: num_frames(len(s))]
+        np.testing.assert_array_equal(g, want)
