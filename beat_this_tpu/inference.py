@@ -227,6 +227,23 @@ def _time_buckets(chunk_size: int) -> tuple[int, ...]:
     return tuple(b for b in (192, 384, 768) if b < chunk_size) + (chunk_size,)
 
 
+# Jitted predictor functions shared across ChunkedPredictor instances, keyed
+# on everything the traced computation closes over (model geometry, chunk
+# geometry, compute dtype, overlap mode). jax.jit's own per-shape/sharding
+# cache hangs off these callables, so a fresh predictor — e.g. every
+# `cli.run()` call in one process, or each class-tower object — reuses the
+# already-traced, already-loaded executables instead of paying tracing plus
+# executable load per instance (seconds each through a relay-attached TPU).
+_SHARED_FNS: dict[tuple, Callable] = {}
+
+
+def _shared_jit(key: tuple, build: Callable[[], Callable]) -> Callable:
+    fn = _SHARED_FNS.get(key)
+    if fn is None:
+        fn = _SHARED_FNS[key] = jax.jit(build())
+    return fn
+
+
 class ChunkedPredictor:
     """Batched fixed-shape chunked inference for one model.
 
@@ -257,56 +274,70 @@ class ChunkedPredictor:
         self.compute_dtype = compute_dtype
         self.mesh = mesh
         self.overlap_mode = overlap_mode
-        self._fns: dict = {}
         self._placed_model = None
 
     @property
     def stride(self) -> int:
         return self.chunk_size - 2 * self.border_size
 
-    def _build(self, n_chunks: int) -> Callable:
+    def _stitch_fn(self) -> Callable:
+        """One jitted gather-forward-stitch fn; jit retraces per chunk-count
+        bucket (the shape of `starts`)."""
         cs, bs, stride = self.chunk_size, self.border_size, self.stride
         config, dtype = self.model.config, self.compute_dtype
+        overlap = self.overlap_mode
 
-        def fn(params, state, spect_pad, starts):
-            chunks = jax.vmap(
-                lambda s: jax.lax.dynamic_slice(
-                    spect_pad, (s, 0), (cs, spect_pad.shape[1])
+        def build():
+            def fn(params, state, spect_pad, starts):
+                n_chunks = starts.shape[0]
+                chunks = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(
+                        spect_pad, (s, 0), (cs, spect_pad.shape[1])
+                    )
+                )(starts)
+                out, _ = apply_beat_this(
+                    params, state, chunks, config, compute_dtype=dtype
                 )
-            )(starts)
-            out, _ = apply_beat_this(
-                params, state, chunks, config, compute_dtype=dtype
-            )
-            beat = out["beat"][:, bs : cs - bs]  # (n_chunks, stride)
-            downbeat = out["downbeat"][:, bs : cs - bs]
-            buf_b = jnp.full((n_chunks * stride,), -1000.0, jnp.float32)
-            buf_d = jnp.full((n_chunks * stride,), -1000.0, jnp.float32)
-            # keep_first: write in reverse so earlier chunks win; keep_last:
-            # forward order (reference beat_this/inference.py:174-184).
-            # Bucket-padding rows carry garbage but their starts point at the
-            # sacrificial tail slot past the true length, trimmed by [:t].
-            order = range(n_chunks)
-            if self.overlap_mode == "keep_first":
-                order = reversed(order)
-            for i in order:
-                buf_b = jax.lax.dynamic_update_slice(buf_b, beat[i], (starts[i],))
-                buf_d = jax.lax.dynamic_update_slice(buf_d, downbeat[i], (starts[i],))
-            return buf_b, buf_d
+                beat = out["beat"][:, bs : cs - bs]  # (n_chunks, stride)
+                downbeat = out["downbeat"][:, bs : cs - bs]
+                buf_b = jnp.full((n_chunks * stride,), -1000.0, jnp.float32)
+                buf_d = jnp.full((n_chunks * stride,), -1000.0, jnp.float32)
+                # keep_first: write in reverse so earlier chunks win;
+                # keep_last: forward order (reference
+                # beat_this/inference.py:174-184). Bucket-padding rows carry
+                # garbage but their starts point at the sacrificial tail slot
+                # past the true length, trimmed by [:t].
+                order = range(n_chunks)
+                if overlap == "keep_first":
+                    order = reversed(order)
+                for i in order:
+                    buf_b = jax.lax.dynamic_update_slice(
+                        buf_b, beat[i], (starts[i],)
+                    )
+                    buf_d = jax.lax.dynamic_update_slice(
+                        buf_d, downbeat[i], (starts[i],)
+                    )
+                return buf_b, buf_d
 
-        return jax.jit(fn)
+            return fn
+
+        return _shared_jit(("stitch", config, cs, bs, dtype, overlap), build)
 
     # -- short pieces (one chunk shorter than chunk_size) --------------------
     def _short_fn(self) -> Callable:
         config, dtype = self.model.config, self.compute_dtype
 
-        def fn(params, state, chunks, valid_lengths):
-            out, _ = apply_beat_this(
-                params, state, chunks, config,
-                compute_dtype=dtype, valid_lengths=valid_lengths,
-            )
-            return out["beat"], out["downbeat"]
+        def build():
+            def fn(params, state, chunks, valid_lengths):
+                out, _ = apply_beat_this(
+                    params, state, chunks, config,
+                    compute_dtype=dtype, valid_lengths=valid_lengths,
+                )
+                return out["beat"], out["downbeat"]
 
-        return jax.jit(fn)
+            return fn
+
+        return _shared_jit(("short", config, dtype), build)
 
     def _predict_short(self, spects) -> list[tuple[np.ndarray, np.ndarray]]:
         """Pieces no longer than one chunk run as a single shorter chunk of
@@ -333,23 +364,39 @@ class ChunkedPredictor:
                 spect = spects[idx]
                 batch[row, bs : bs + len(spect)] = spect
                 valid[row] = len(spect) + 2 * bs
-            key = "short"  # one jitted fn; jit retraces per (n_b, padded_t)
-            if key not in self._fns:
-                self._fns[key] = self._short_fn()
+            # one jitted fn; jit retraces per (n_b, padded_t)
             params, bn_state, batch_dev, valid_dev = self._place(
                 batch, extra=valid
             )
-            beat, down = self._fns[key](params, bn_state, batch_dev, valid_dev)
+            beat, down = self._short_fn()(params, bn_state, batch_dev, valid_dev)
             beat, down = np.asarray(beat), np.asarray(down)
             for row, idx in enumerate(indices):
                 t = len(spects[idx])
                 results[idx] = (beat[row, bs : bs + t], down[row, bs : bs + t])
         return [results[i] for i in range(len(spects))]
 
+    def _params_on_device(self):
+        """The model pytrees placed on device ONCE per predictor (replicated
+        over the mesh when one is set). Without this, numpy-backed params
+        would be re-uploaded on every jit dispatch — ~80 MB for the flagship
+        model, more than a second per call through a relay-attached TPU."""
+        if self._placed_model is None:
+            if self.mesh is None:
+                put = jax.device_put
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                repl = NamedSharding(self.mesh, P())
+                put = lambda x: jax.device_put(x, repl)  # noqa: E731
+            self._placed_model = jax.tree_util.tree_map(
+                put, (self.model.params, self.model.state)
+            )
+        return self._placed_model
+
     def _place(self, batch: np.ndarray, extra: np.ndarray | None = None):
         """Device placement for (params, state, batch[, extra]) honouring the
         optional data-parallel mesh."""
-        params, bn_state = self.model.params, self.model.state
+        params, bn_state = self._params_on_device()
         if self.mesh is None:
             if extra is None:
                 return params, bn_state, jnp.asarray(batch)
@@ -357,12 +404,6 @@ class ChunkedPredictor:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         data = NamedSharding(self.mesh, P("data"))
-        if self._placed_model is None:
-            repl = NamedSharding(self.mesh, P())
-            self._placed_model = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, repl), (params, bn_state)
-            )
-        params, bn_state = self._placed_model
         batch_dev = jax.device_put(batch, data)
         if extra is None:
             return params, bn_state, batch_dev
@@ -377,8 +418,6 @@ class ChunkedPredictor:
             return self._predict_short([spect])[0]
         starts = plan_chunks(t, self.chunk_size, self.border_size)
         n_b = _bucket(len(starts))
-        if n_b not in self._fns:
-            self._fns[n_b] = self._build(n_b)
         # pad spect: border_size zeros in front, zeros to bucket length behind
         padded_len = n_b * self.stride + 2 * self.border_size
         spect_pad = np.zeros((padded_len, spect.shape[1]), np.float32)
@@ -388,25 +427,32 @@ class ChunkedPredictor:
         # their garbage lands in the trimmed tail under either overlap mode
         starts_shifted = np.full((n_b,), (n_b - 1) * self.stride, np.int32)
         starts_shifted[: len(starts)] = starts + self.border_size
-        buf_b, buf_d = self._fns[n_b](
-            self.model.params, self.model.state, jnp.asarray(spect_pad),
+        params, bn_state = self._params_on_device()
+        buf_b, buf_d = self._stitch_fn()(
+            params, bn_state, jnp.asarray(spect_pad),
             jnp.asarray(starts_shifted),
         )
         return np.asarray(buf_b)[:t], np.asarray(buf_d)[:t]
 
 
     # -- multi-piece batching ----------------------------------------------
-    def _forward_chunks_fn(self, n_chunks: int) -> Callable:
+    def _forward_chunks_fn(self) -> Callable:
         cs, bs = self.chunk_size, self.border_size
         config, dtype = self.model.config, self.compute_dtype
 
-        def fn(params, state, chunks):
-            out, _ = apply_beat_this(
-                params, state, chunks, config, compute_dtype=dtype
-            )
-            return out["beat"][:, bs : cs - bs], out["downbeat"][:, bs : cs - bs]
+        def build():
+            def fn(params, state, chunks):
+                out, _ = apply_beat_this(
+                    params, state, chunks, config, compute_dtype=dtype
+                )
+                return (
+                    out["beat"][:, bs : cs - bs],
+                    out["downbeat"][:, bs : cs - bs],
+                )
 
-        return jax.jit(fn)
+            return fn
+
+        return _shared_jit(("chunks", config, cs, bs, dtype), build)
 
     def predict_many(self, spects) -> list[tuple[np.ndarray, np.ndarray]]:
         """Predict several pieces at once: chunks from ALL pieces are packed
@@ -443,12 +489,10 @@ class ChunkedPredictor:
             from beat_this_tpu.parallel.mesh import pad_to_multiple
 
             n_b = pad_to_multiple(n_b, self.mesh.devices.size)
-        if ("chunks", n_b) not in self._fns:
-            self._fns[("chunks", n_b)] = self._forward_chunks_fn(n_b)
         batch = np.zeros((n_b, self.chunk_size, spects[0].shape[1]), np.float32)
         batch[:total] = np.stack(chunk_list)
         params, bn_state, batch_dev = self._place(batch)
-        beat_all, down_all = self._fns[("chunks", n_b)](
+        beat_all, down_all = self._forward_chunks_fn()(
             params, bn_state, batch_dev
         )
         beat_all = np.asarray(beat_all)

@@ -92,6 +92,32 @@ def test_chunked_predictor_matches_host_oracle(model, t):
     np.testing.assert_allclose(downbeat, od, atol=5e-5)
 
 
+def test_jitted_fns_shared_across_predictor_instances(model):
+    """Fresh predictors with the same geometry must reuse the module-level
+    jitted callables — the guarantee that repeated `cli.run()` calls in one
+    process pay tracing/executable-load once, not per invocation (the warm
+    CLI-directory cost through a relay-attached TPU)."""
+    from beat_this_tpu import inference
+
+    p1 = ChunkedPredictor(model, chunk_size=CHUNK, border_size=BORDER)
+    p2 = ChunkedPredictor(model, chunk_size=CHUNK, border_size=BORDER)
+    assert p1._stitch_fn() is p2._stitch_fn()
+    assert p1._short_fn() is p2._short_fn()
+    assert p1._forward_chunks_fn() is p2._forward_chunks_fn()
+
+    rng = np.random.RandomState(7)
+    spect = rng.randn(250, 128).astype(np.float32)
+    b1, d1 = p1.predict(spect)
+    n_fns = len(inference._SHARED_FNS)
+    b2, d2 = p2.predict(spect)
+    assert len(inference._SHARED_FNS) == n_fns  # no new traces for p2
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(d1, d2)
+    # a different geometry or dtype must NOT collide with the cached fns
+    p3 = ChunkedPredictor(model, chunk_size=CHUNK + 12, border_size=BORDER)
+    assert p3._stitch_fn() is not p1._stitch_fn()
+
+
 @pytest.mark.parametrize("t", [300, 200])
 def test_keep_last_overlap_mode(model, t):
     rng = np.random.RandomState(1000 + t)
