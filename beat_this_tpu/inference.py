@@ -477,6 +477,30 @@ class ChunkedPredictor:
                 out[i] = res
         return [out[i] for i in range(len(spects))]
 
+    def _stitch_host(self, lengths, plans, beat_all, down_all):
+        """Overlap-stitch per-chunk border-trimmed logits back into per-piece
+        logit tracks on host (tiny arrays; the device work is done)."""
+        results = []
+        offset = 0
+        for t, starts in zip(lengths, plans):
+            beat = np.full(t, -1000.0, np.float32)
+            down = np.full(t, -1000.0, np.float32)
+            n = len(starts)
+            piece_beat = beat_all[offset : offset + n]
+            piece_down = down_all[offset : offset + n]
+            # keep_first: reverse order so earlier chunks win
+            order = range(n)
+            if self.overlap_mode == "keep_first":
+                order = reversed(order)
+            for i in order:
+                lo = starts[i] + self.border_size
+                hi = min(lo + self.stride, t)
+                beat[lo:hi] = piece_beat[i][: hi - lo]
+                down[lo:hi] = piece_down[i][: hi - lo]
+            results.append((beat, down))
+            offset += n
+        return results
+
     def _predict_many_long(self, spects) -> list[tuple[np.ndarray, np.ndarray]]:
         plans = [plan_chunks(len(s), self.chunk_size, self.border_size)
                  for s in spects]
@@ -500,29 +524,132 @@ class ChunkedPredictor:
         beat_all, down_all = self._forward_chunks_fn()(
             params, bn_state, batch_dev
         )
-        beat_all = np.asarray(beat_all)
-        down_all = np.asarray(down_all)
-        results = []
-        offset = 0
-        for spect, starts in zip(spects, plans):
-            t = len(spect)
-            beat = np.full(t, -1000.0, np.float32)
-            down = np.full(t, -1000.0, np.float32)
-            n = len(starts)
-            piece_beat = beat_all[offset : offset + n]
-            piece_down = down_all[offset : offset + n]
-            # keep_first: reverse order so earlier chunks win
-            order = range(n)
-            if self.overlap_mode == "keep_first":
-                order = reversed(order)
-            for i in order:
-                lo = starts[i] + self.border_size
-                hi = min(lo + self.stride, t)
-                beat[lo:hi] = piece_beat[i][: hi - lo]
-                down[lo:hi] = piece_down[i][: hi - lo]
-            results.append((beat, down))
-            offset += n
-        return results
+        return self._stitch_host(
+            [len(s) for s in spects], plans,
+            np.asarray(beat_all), np.asarray(down_all),
+        )
+
+    # -- device-resident group inference ------------------------------------
+    def _gather_fn(self, row_len: int) -> Callable:
+        """Jitted window gather: (F, bins) device spect + per-window (start,
+        valid-row range) -> (n, row_len, bins) windows with rows outside the
+        range zeroed. The spect is zero-padded by row_len on both ends inside
+        the jit so any start in [-row_len, F] gathers without dynamic_slice
+        clamping shifting the window; masked rows multiply by 0.0, which is
+        float-exact against the host path's zero-filled chunk buffers.
+        Tiny executable (slice + compare + multiply), retraced per
+        (row_len, F-bucket) — unlike fusing the gather into the model
+        forward, which would multiply the expensive full-model executables
+        per mel bucket."""
+
+        def build():
+            def fn(mel, g, lo, hi):
+                melp = jnp.pad(mel, ((row_len, row_len), (0, 0)))
+
+                def one(gi, loi, hii):
+                    win = jax.lax.dynamic_slice(
+                        melp, (gi + row_len, 0), (row_len, mel.shape[1])
+                    )
+                    rows = jnp.arange(row_len, dtype=jnp.int32)
+                    keep = (rows >= loi) & (rows < hii)
+                    return win * keep[:, None].astype(win.dtype)
+
+                return jax.vmap(one)(g, lo, hi)
+
+            return fn
+
+        return _shared_jit(("gather", row_len), build)
+
+    def predict_many_device(
+        self, mel_dev, offsets, nframes
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """`predict_many` over pieces that live INSIDE one device-resident
+        flat log-mel array (piece i = mel_dev[offsets[i] : offsets[i] +
+        nframes[i]]), as produced by `BatchedFile2File._batched_spects_device`.
+
+        Chunk/short-window extraction happens on device via `_gather_fn`, and
+        the gathered windows feed the SAME cached forward executables the
+        host path uses — so the group's spectrogram never crosses the
+        host<->device link. Through a relay-attached TPU that round trip
+        (~90 MB for a 32-file group: full-mel download + chunk-batch
+        re-upload) is most of the mel+forward stages' wall time. Logit
+        outputs (~1.5 MB) still come back to host for stitching, like the
+        host path. Requires mesh=None (callers fall back to `predict_many`
+        over host slices otherwise)."""
+        if self.mesh is not None:
+            raise ValueError(
+                "predict_many_device is single-device; use predict_many "
+                "with host spects under a mesh"
+            )
+        bs, cs, stride = self.border_size, self.chunk_size, self.stride
+        n = len(offsets)
+        short = [i for i in range(n) if nframes[i] <= stride]
+        long = [i for i in range(n) if nframes[i] > stride]
+        params, bn_state = self._params_on_device()
+        out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        # short pieces: same bucketed valid_lengths batches as
+        # `_predict_short`, windows gathered on device. Window row j holds
+        # piece frame j - bs, so the gather starts at offset - bs and rows
+        # [bs, bs + t) are valid — identical tensors to the host batch.
+        by_bucket: dict[int, list[int]] = {}
+        for idx in short:
+            valid = nframes[idx] + 2 * bs
+            padded_t = next(p for p in _time_buckets(cs) if p >= valid)
+            by_bucket.setdefault(padded_t, []).append(idx)
+        for padded_t, indices in by_bucket.items():
+            n_b = _bucket(len(indices))
+            g = np.zeros((n_b,), np.int32)
+            lo = np.zeros((n_b,), np.int32)
+            hi = np.zeros((n_b,), np.int32)  # padding rows: fully masked
+            valid = np.full((n_b,), padded_t, np.int32)
+            for row, idx in enumerate(indices):
+                g[row] = offsets[idx] - bs
+                lo[row] = bs
+                hi[row] = bs + nframes[idx]
+                valid[row] = nframes[idx] + 2 * bs
+            windows = self._gather_fn(padded_t)(
+                mel_dev, jnp.asarray(g), jnp.asarray(lo), jnp.asarray(hi)
+            )
+            beat, down = self._short_fn()(
+                params, bn_state, windows, jnp.asarray(valid)
+            )
+            beat, down = np.asarray(beat), np.asarray(down)
+            for row, idx in enumerate(indices):
+                t = nframes[idx]
+                out[idx] = (beat[row, bs : bs + t], down[row, bs : bs + t])
+
+        # long pieces: chunk windows gathered at offset + start, valid rows
+        # [max(start,0)-start, min(start+cs,t)-start) — the exact row spans
+        # `_predict_many_long` copies into its zeroed chunk buffers.
+        if long:
+            plans = [plan_chunks(nframes[i], cs, bs) for i in long]
+            total = sum(len(p) for p in plans)
+            n_b = _bucket(total)
+            g = np.zeros((n_b,), np.int32)
+            lo = np.zeros((n_b,), np.int32)
+            hi = np.zeros((n_b,), np.int32)
+            row = 0
+            for idx, starts in zip(long, plans):
+                t = nframes[idx]
+                for start in starts:
+                    g[row] = offsets[idx] + start
+                    lo[row] = max(start, 0) - start
+                    hi[row] = min(start + cs, t) - start
+                    row += 1
+            chunks = self._gather_fn(cs)(
+                mel_dev, jnp.asarray(g), jnp.asarray(lo), jnp.asarray(hi)
+            )
+            beat_all, down_all = self._forward_chunks_fn()(
+                params, bn_state, chunks
+            )
+            stitched = self._stitch_host(
+                [nframes[i] for i in long], plans,
+                np.asarray(beat_all), np.asarray(down_all),
+            )
+            for idx, res in zip(long, stitched):
+                out[idx] = res
+        return [out[i] for i in range(n)]
 
 
 def _pad_logit_group(logits):
@@ -777,6 +904,16 @@ class BatchedFile2File(File2File):
         signal. The reflect head (the first 512 samples the center-mode
         STFT mirrors, torchaudio semantics) is written into the previous
         slot's zero tail; file 0's comes from the mel's own edge pad."""
+        mel_dev, offsets, nframes_ = self._batched_spects_device(signals)
+        mel = np.asarray(mel_dev)
+        return [mel[o : o + nf] for o, nf in zip(offsets, nframes_)]
+
+    def _batched_spects_device(self, signals):
+        """The flat-packed group mel as ONE device-resident array, plus each
+        piece's (frame offset, frame count) into it. `predict_many_device`
+        consumes this directly so the spectrogram never crosses the
+        host<->device link; `_batched_spects` is the same thing downloaded
+        and sliced."""
         hop = 441
         align = hop * 4  # slot granularity: <=0.1 s padding waste per file
         slots, starts = [], []
@@ -796,15 +933,36 @@ class BatchedFile2File(File2File):
                 # this file's left edge (covers tiny files too: the slot
                 # already carries signal + reflect tail + zeros)
                 flat[st - 512 : st] = slot[1:513][::-1]
-        mel = np.asarray(
-            log_mel_spectrogram(
-                jnp.asarray(_as_pcm16_if_exact(flat)), LogMelConfig()
-            )
+        mel = log_mel_spectrogram(
+            jnp.asarray(_as_pcm16_if_exact(flat)), LogMelConfig()
         )
-        return [
-            mel[st // hop : st // hop + num_frames(len(s))]
-            for st, s in zip(starts, signals)
-        ]
+        return (
+            mel,
+            [st // hop for st in starts],
+            [num_frames(len(s)) for s in signals],
+        )
+
+    def _group_logits(self, signals):
+        """Per-piece (beat, downbeat) logits for one group of waveforms.
+
+        Fast path: the group's flat mel stays device-resident and chunk
+        windows are gathered on device (`predict_many_device`) — the
+        spectrogram never crosses the host<->device link. Falls back,
+        observably, to the download-slice-reupload path on any failure, and
+        always under a mesh (the device path is single-device)."""
+        if self.predictor.mesh is None:
+            try:
+                return self.predictor.predict_many_device(
+                    *self._batched_spects_device(signals)
+                )
+            except Exception as exc:  # noqa: BLE001
+                print(
+                    "beat_this_tpu: device-resident group inference failed "
+                    f"with {type(exc).__name__}: {exc}; falling back to the "
+                    "host spect path for this group",
+                    file=sys.stderr,
+                )
+        return self.predictor.predict_many(self._batched_spects(signals))
 
     def process_many(self, tasks, on_error=None, after_each=None):
         """tasks: iterable of (audio_path, output_path). Failures in loading
@@ -828,8 +986,7 @@ class BatchedFile2File(File2File):
                 valid.append((path, out))
             if not signals:
                 continue
-            spects = self._batched_spects(signals)
-            results = self.predictor.predict_many(spects)
+            results = self._group_logits(signals)
             # postprocess the whole group in ONE batched call (the same
             # padded-group path the eval protocol uses) — per-file
             # postprocessing costs one device round trip per file, which

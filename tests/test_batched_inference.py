@@ -124,6 +124,74 @@ def test_process_many_batches_postprocessing(model, tmp_path, monkeypatch):
         np.testing.assert_allclose(written, np.round(beats, 6), atol=1e-6)
 
 
+def test_predict_many_device_matches_host(model):
+    """The device-resident group path (flat mel stays on device, chunk and
+    short-piece windows gathered by `_gather_fn`) must produce bit-identical
+    logits to the host path (download mel, slice, re-upload chunk batches):
+    the gathered tensors are constructed to be float-exact equal, and both
+    feed the same cached executables. Lengths straddle the short/long
+    boundary (nframes == stride) and include multi-chunk and tiny pieces."""
+    import beat_this_tpu.inference as inf
+    from beat_this_tpu.ops.mel import num_frames
+
+    predictor = ChunkedPredictor(model, chunk_size=96, border_size=6)
+    stride = predictor.stride  # 84 frames
+    f2f = inf.BatchedFile2File.__new__(inf.BatchedFile2File)
+    f2f.predictor = predictor
+
+    rng = np.random.RandomState(11)
+    lengths = [
+        300,  # tiny (shorter than the reflect window)
+        3000,  # short
+        441 * stride - 441,  # nframes just below stride
+        441 * stride,  # nframes == stride (short/long boundary)
+        441 * stride + 441,  # just over: two-chunk piece
+        441 * 200,  # multi-chunk
+    ]
+    signals = [0.3 * rng.randn(n).astype(np.float32) for n in lengths]
+    for n, sig in zip(lengths, signals):
+        assert num_frames(n) in range(1, 250)
+
+    mel_dev, offsets, nframes_ = f2f._batched_spects_device(signals)
+    got = predictor.predict_many_device(mel_dev, offsets, nframes_)
+    want = predictor.predict_many(f2f._batched_spects(signals))
+    assert len(got) == len(want)
+    for (gb, gd), (wb, wd) in zip(got, want):
+        np.testing.assert_array_equal(gb, wb)
+        np.testing.assert_array_equal(gd, wd)
+
+
+def test_group_logits_fallback_is_observable(model, capsys):
+    """_group_logits: the device-resident path is the default; a failure in
+    it must warn on stderr and fall back to the host path with correct
+    results (the ADVICE r4 observability contract)."""
+    import beat_this_tpu.inference as inf
+
+    f2f = inf.BatchedFile2File.__new__(inf.BatchedFile2File)
+    f2f.predictor = ChunkedPredictor(model, chunk_size=96, border_size=6)
+
+    rng = np.random.RandomState(3)
+    signals = [0.3 * rng.randn(n).astype(np.float32) for n in (22050, 60000)]
+    want = f2f.predictor.predict_many(f2f._batched_spects(signals))
+
+    res_fast = f2f._group_logits(signals)
+    assert "falling back" not in capsys.readouterr().err
+    for (gb, gd), (wb, wd) in zip(res_fast, want):
+        np.testing.assert_array_equal(gb, wb)
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic device-path failure")
+
+    f2f.predictor.predict_many_device = boom
+    res_slow = f2f._group_logits(signals)
+    err = capsys.readouterr().err
+    assert "device-resident group inference failed" in err
+    assert "RuntimeError" in err
+    for (gb, gd), (wb, wd) in zip(res_slow, want):
+        np.testing.assert_array_equal(gb, wb)
+        np.testing.assert_array_equal(gd, wd)
+
+
 def test_batched_spects_matches_per_file():
     """The packed-flat group mel must be samplewise identical to the
     per-file `signal2spect` mel for every length class: sub-second, odd

@@ -125,6 +125,15 @@ def main():
     print(f"staged (warm): load {t_load:.1f} s, mel {t_mel:.1f} s, "
           f"forward {t_fwd:.1f} s, postprocess {t_post:.1f} s")
 
+    # the production group path: flat mel stays device-resident, windows
+    # gathered on device — signal -> logits without the spect round trip
+    for _ in range(2):
+        t0 = time.perf_counter()
+        f2f._group_logits(signals)
+        t_grp = time.perf_counter() - t0
+    print(f"device-resident signals->logits (warm): {t_grp:.1f} s "
+          f"(host-path mel+forward: {t_mel + t_fwd:.1f} s)")
+
 
 if __name__ == "__main__":
     main()
