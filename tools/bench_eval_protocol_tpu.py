@@ -38,7 +38,12 @@ def main():
     parser.add_argument("--pieces", type=int, default=64)
     parser.add_argument("--frames", type=int, default=2800)
     parser.add_argument("--random-weights", action="store_true",
-                        help="skip the 30 training steps; F will be noise")
+                        help="skip the fixture training steps; F will be noise")
+    parser.add_argument("--fixture-steps", type=int, default=150,
+                        help="optimizer steps for the trained fixture; must "
+                        "be enough for beat peaks to cross the REAL "
+                        "postprocessor's 0-logit threshold (30 is not: "
+                        "peaks stay below 0 and F reads 0.0)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
@@ -83,7 +88,9 @@ def main():
         sys.path.insert(0, str(REPO / "tools"))
         from check_all_tpu import _flagship_trained
 
-        config, params, state, curve = _flagship_trained()
+        config, params, state, curve = _flagship_trained(
+            steps=args.fixture_steps
+        )
         print(f"trained fixture: loss {curve[0]:.3f} -> {curve[-1]:.3f} "
               f"over {len(curve)} steps", flush=True)
     sd = pytree_to_torch_state_dict(params, state)
@@ -144,6 +151,8 @@ def main():
         ("mean_f_beat_randomweights" if args.random_weights
          else "mean_f_beat_trained"): round(f_mean, 4),
     }
+    if not args.random_weights:
+        record["fixture_steps"] = args.fixture_steps
     print(json.dumps(record), flush=True)
     if args.out:
         Path(args.out).write_text(json.dumps(record, indent=2))

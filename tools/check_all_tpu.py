@@ -549,20 +549,23 @@ def check_fused_time_parity():
 _FLAGSHIP = {}
 
 
-def _flagship_trained():
-    """30 REAL optimizer steps of the flagship geometry (512-dim / 6-layer
-    / 16-head, the bench batch: 8 microbatches x 8 crops x 1500 frames,
-    bf16, real shift-tolerant loss) on the TPU with every Pallas training
-    VJP active. The batch is a fixed click-structured spectrogram corpus
-    (bursts every 25 frames = 120 bpm, downbeat every 4th) and the dropout
-    key is held fixed, so the per-step loss (computed BEFORE each update)
-    decreases deterministically. Mirrors bench.bench_train_step's
+def _flagship_trained(steps: int = 30):
+    """`steps` REAL optimizer steps of the flagship geometry (512-dim /
+    6-layer / 16-head, the bench batch: 8 microbatches x 8 crops x 1500
+    frames, bf16, real shift-tolerant loss) on the TPU with every Pallas
+    training VJP active. The batch is a fixed click-structured spectrogram
+    corpus (bursts every 25 frames = 120 bpm, downbeat every 4th) and the
+    dropout key is held fixed, so the per-step loss (computed BEFORE each
+    update) decreases deterministically. Mirrors bench.bench_train_step's
     TrainConfig and shapes exactly so the executable comes warm from the
-    persistent XLA cache. Cached across checks: the trained weights also
-    serve as the realistic fixture for the beat-level parity gate.
-    Returns (config, params, bn_state, curve)."""
-    if _FLAGSHIP:
-        return _FLAGSHIP["value"]
+    persistent XLA cache. Cached per step count: the default-30 weights
+    serve as the realistic fixture for the beat-level parity gate (peaks
+    deliberately still below the converged 0 threshold); longer runs (the
+    eval-protocol bench uses them) push beat peaks over 0 so the REAL
+    unmodified postprocessor fires. Returns (config, params, bn_state,
+    curve)."""
+    if steps in _FLAGSHIP:
+        return _FLAGSHIP[steps]
     import jax
     import jax.numpy as jnp
 
@@ -575,7 +578,12 @@ def _flagship_trained():
     )
 
     config = BeatThisConfig()  # full size
-    tc = TrainConfig(max_steps=100, accum_steps=8, compute_dtype="bfloat16")
+    # max(100, steps) keeps the default-30 fixture's trajectory (and the
+    # committed TPUCHECK curves) bit-identical while giving longer runs a
+    # cosine schedule that does not collapse to ~0 LR at step 100
+    tc = TrainConfig(
+        max_steps=max(100, steps), accum_steps=8, compute_dtype="bfloat16"
+    )
     params, bn_state = init_beat_this(0, config)
     ts = init_train_state(params, bn_state, tc)
     micro, t = 8, 1500
@@ -606,16 +614,16 @@ def _flagship_trained():
     step = jax.jit(make_train_step(config, tc))
     key = dropout_key(0)
     curve = []
-    for _ in range(30):
+    for _ in range(steps):
         ts, parts = step(ts, batch, key)
         curve.append(float(jax.device_get(parts["total"])))
-    _FLAGSHIP["value"] = (
+    _FLAGSHIP[steps] = (
         config,
         jax.device_get(ts.params),
         jax.device_get(ts.bn_state),
         curve,
     )
-    return _FLAGSHIP["value"]
+    return _FLAGSHIP[steps]
 
 
 def check_flagship_train_steps():
