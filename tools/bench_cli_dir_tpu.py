@@ -44,7 +44,9 @@ def main():
     from beat_this_tpu.model import BeatThisConfig, init_beat_this
     from beat_this_tpu.profiler import maybe_enable_compilation_cache
 
-    maybe_enable_compilation_cache()
+    maybe_enable_compilation_cache(
+        default_dir=os.path.expanduser("~/.cache/beat_this_tpu/xla-cache")
+    )
 
     tmp = tempfile.mkdtemp(prefix="bench_cli_dir_")
     wavs = os.path.join(tmp, "wavs")
