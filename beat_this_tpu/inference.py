@@ -108,6 +108,14 @@ def BeatThis(seed: int = 0, **hparams) -> LoadedModel:
     return LoadedModel(config, params, state)
 
 
+# Local-file checkpoints cached per (path, mtime, size): repeat loads in one
+# process (every `cli.run()`, each class-tower object) return the SAME
+# LoadedModel instance, so the parse is paid once and the device placement
+# cached on the instance (`ChunkedPredictor._params_on_device`) is shared —
+# on a relay-attached TPU that placement dispatch costs ~2 s per fresh model.
+_MODEL_CACHE: dict[tuple, LoadedModel] = {}
+
+
 def load_model(checkpoint_path: str | None = "final0") -> LoadedModel:
     """Build a model from a checkpoint (reference beat_this/inference.py:56-87).
     With `None`, returns a freshly initialized default model."""
@@ -117,10 +125,24 @@ def load_model(checkpoint_path: str | None = "final0") -> LoadedModel:
         config = BeatThisConfig()
         params, state = init_beat_this(0, config)
         return LoadedModel(config, params, state)
+    key = None
+    if isinstance(checkpoint_path, (str, os.PathLike)) and os.path.isfile(
+        checkpoint_path
+    ):
+        st = os.stat(checkpoint_path)
+        key = (os.path.abspath(checkpoint_path), st.st_mtime_ns, st.st_size)
+        cached = _MODEL_CACHE.get(key)
+        if cached is not None:
+            return cached
     checkpoint = load_checkpoint(checkpoint_path)
     config = BeatThisConfig.from_hparams(checkpoint.get("hyper_parameters", {}))
     params, state = torch_state_dict_to_pytree(checkpoint["state_dict"], config)
-    return LoadedModel(config, params, state)
+    model = LoadedModel(config, params, state)
+    if key is not None:
+        while len(_MODEL_CACHE) >= 4:  # bound host memory: a few ~80 MB sets
+            _MODEL_CACHE.pop(next(iter(_MODEL_CACHE)))
+        _MODEL_CACHE[key] = model
+    return model
 
 
 # ---------------------------------------------------------------------------
@@ -389,13 +411,21 @@ class ChunkedPredictor:
         if self._placed_model is None:
             tree = (self.model.params, self.model.state)
             if self.mesh is None:
-                ident = _shared_jit(("ident",), lambda: (lambda t: t))
+                # share the placement across every predictor wrapping this
+                # LoadedModel (load_model returns cached instances), so e.g.
+                # repeated cli.run() calls pay the upload once per process
+                placed = getattr(self.model, "_placed_default", None)
+                if placed is None:
+                    ident = _shared_jit(("ident",), lambda: (lambda t: t))
+                    placed = ident(tree)
+                    self.model._placed_default = placed
+                self._placed_model = placed
             else:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 repl = NamedSharding(self.mesh, P())
                 ident = jax.jit(lambda t: t, out_shardings=repl)
-            self._placed_model = ident(tree)
+                self._placed_model = ident(tree)
         return self._placed_model
 
     def _place(self, batch: np.ndarray, extra: np.ndarray | None = None):

@@ -118,6 +118,57 @@ def test_jitted_fns_shared_across_predictor_instances(model):
     assert p3._stitch_fn() is not p1._stitch_fn()
 
 
+def test_load_model_cached_per_file_and_placement_shared(tmp_path):
+    """Local-file checkpoints load once per (path, mtime, size): repeat
+    `load_model` calls return the SAME LoadedModel instance so the parse and
+    the device placement (~2 s through a relay-attached TPU) are paid once
+    per process; rewriting the file invalidates the cache."""
+    torch = pytest.importorskip("torch")
+    from beat_this_tpu.inference import load_model
+    from beat_this_tpu.io.torch_ckpt import pytree_to_torch_state_dict
+    from beat_this_tpu.model import BeatThisConfig, init_beat_this
+
+    def write(seed):
+        cfg = BeatThisConfig(transformer_dim=64, n_layers=1)
+        params, state = init_beat_this(seed, cfg)
+        sd = pytree_to_torch_state_dict(params, state)
+        torch.save(
+            {
+                "state_dict": {
+                    "model." + k: torch.as_tensor(np.ascontiguousarray(v))
+                    for k, v in sd.items()
+                },
+                "hyper_parameters": {"transformer_dim": 64, "n_layers": 1},
+            },
+            tmp_path / "m.ckpt",
+        )
+
+    write(0)
+    m1 = load_model(str(tmp_path / "m.ckpt"))
+    m2 = load_model(str(tmp_path / "m.ckpt"))
+    assert m1 is m2
+
+    p1 = ChunkedPredictor(m1, chunk_size=CHUNK, border_size=BORDER)
+    p2 = ChunkedPredictor(m2, chunk_size=CHUNK, border_size=BORDER)
+    assert p1._params_on_device() is p2._params_on_device()
+
+    import os
+    import time as _time
+
+    _time.sleep(0.01)
+    write(1)  # same size, new mtime -> must reload
+    os.utime(tmp_path / "m.ckpt")
+    m3 = load_model(str(tmp_path / "m.ckpt"))
+    assert m3 is not m1
+    import jax
+
+    leaves1 = jax.tree_util.tree_leaves(m1.params)
+    leaves3 = jax.tree_util.tree_leaves(m3.params)
+    assert any(
+        not np.array_equal(a, b) for a, b in zip(leaves1, leaves3)
+    ), "reload after rewrite must see the new weights"
+
+
 @pytest.mark.parametrize("t", [300, 200])
 def test_keep_last_overlap_mode(model, t):
     rng = np.random.RandomState(1000 + t)
