@@ -131,10 +131,24 @@ def main():
     # gathered on device — signal -> logits without the spect round trip
     for _ in range(2):
         t0 = time.perf_counter()
-        f2f._group_logits(signals)
+        dev_results = f2f._group_logits(signals)
         t_grp = time.perf_counter() - t0
     print(f"device-resident signals->logits (warm): {t_grp:.1f} s "
           f"(host-path mel+forward: {t_mel + t_fwd:.1f} s)")
+
+    # the two paths feed the same cached executables with identically
+    # constructed tensors, so at the REAL flagship geometry on the real
+    # TPU their logits must agree bitwise (the CPU suite asserts this at
+    # small geometry; this run re-proves it where it is deployed)
+    worst = max(
+        max(
+            float(np.max(np.abs(db - hb))),
+            float(np.max(np.abs(dd - hd))),
+        )
+        for (db, dd), (hb, hd) in zip(dev_results, results)
+    )
+    print(f"device-vs-host logit agreement: max|d| = {worst:.2e}")
+    assert worst == 0.0, "device-resident path diverged from host path"
 
 
 if __name__ == "__main__":
